@@ -1,0 +1,18 @@
+"""Test configuration: force an 8-device virtual CPU mesh before any test runs.
+
+Multi-chip sharding is validated on host CPU devices (no multi-chip TPU hardware in
+CI); bench.py and the CLIs run outside pytest and use the real TPU. Note the env
+var JAX_PLATFORMS alone is not enough here — the environment pre-registers a TPU
+platform at interpreter startup, so we also force the platform through jax.config.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
