@@ -1,0 +1,193 @@
+"""Torch ``.pth`` checkpoint ↔ esrganplus_tpu parameter pytrees.
+
+The reference saves flattened ``nn.Sequential`` state dicts (key layout derived in
+SURVEY.md §2.10 from ``codes/models/modules/architecture.py:55-74`` and the
+``sequential`` flattening rules ``block.py:95-108``):
+
+    model.0.{weight,bias}                              fea_conv
+    model.1.sub.{n}.RDB{k}.conv{1..4}.0.{weight,bias}  dense convs (trailing .0 = conv
+                                                       inside a conv+act Sequential)
+    model.1.sub.{n}.RDB{k}.conv1x1.weight              ESRGAN+ shortcut (bias-free;
+                                                       ABSENT in vanilla ESRGAN ckpts)
+    model.1.sub.{n}.RDB{k}.conv5.0.{weight,bias}       fusion conv (also a 1-module
+                                                       Sequential → trailing .0)
+    model.1.sub.{nb}.{weight,bias}                     LR/trunk conv
+    model.{i}.{weight,bias}  (i ≥ 2, conv entries)     upconvs… then HR_conv0, HR_conv1
+
+Weights convert OIHW → HWIO. Our trunk is parameter-stacked for ``lax.scan``, so
+per-block tensors are packed along a leading nb axis.
+
+Vanilla-ESRGAN quirk: the reference loads those checkpoints with ``strict=False``
+(``test_image/test.py:17``), silently leaving ``conv1x1`` at *random init*. We
+default to zeros instead — mathematically identical to the vanilla graph the
+checkpoint was trained with — and record the event; ``missing_conv1x1='error'``
+makes it fatal.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from esrganplus_tpu.models.rrdb import RRDBNetConfig
+
+__all__ = [
+    "load_state_dict",
+    "rrdbnet_from_state_dict",
+    "rrdbnet_to_state_dict",
+    "infer_rrdbnet_config",
+]
+
+_RDB_KEY = re.compile(r"^model\.1\.sub\.(\d+)\.RDB(\d)\.(conv\d(?:x\d)?)(?:\.0)?\.(weight|bias)$")
+_TOP_KEY = re.compile(r"^model\.(\d+)\.(weight|bias)$")
+
+
+def load_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a torch checkpoint file into {key: numpy array} without needing CUDA."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def _oihw_to_hwio(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _hwio_to_oihw(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))
+
+
+def infer_rrdbnet_config(sd: Dict[str, np.ndarray]) -> RRDBNetConfig:
+    """Deduce (nb, nf, gc, in/out channels, upscale, conv1x1 presence) from keys."""
+    blocks = set()
+    has_1x1 = False
+    for k in sd:
+        m = _RDB_KEY.match(k)
+        if m:
+            blocks.add(int(m.group(1)))
+            if m.group(3) == "conv1x1":
+                has_1x1 = True
+    nb = max(blocks) + 1 if blocks else 0
+    w_fea = sd["model.0.weight"]  # OIHW
+    nf, in_nc = w_fea.shape[0], w_fea.shape[1]
+    gc = sd["model.1.sub.0.RDB1.conv1.0.weight"].shape[0]  # nb: refs hard-code gc=32
+    top = sorted({int(m.group(1)) for k in sd if (m := _TOP_KEY.match(k)) and int(m.group(1)) >= 2})
+    n_up = len(top) - 2
+    out_nc = sd[f"model.{top[-1]}.weight"].shape[0]
+    upscale = 2 ** n_up  # scale-3 nets also have one stage; cannot be told apart
+    return RRDBNetConfig(in_nc=in_nc, out_nc=out_nc, nf=nf, nb=nb, gc=gc,
+                         upscale=upscale, conv1x1=has_1x1)
+
+
+def rrdbnet_from_state_dict(
+    sd: Dict[str, np.ndarray],
+    cfg: RRDBNetConfig | None = None,
+    missing_conv1x1: str = "zeros",
+    dtype=jnp.float32,
+) -> Tuple[dict, RRDBNetConfig, dict]:
+    """Convert a reference RRDBNet state dict → (params, cfg, info).
+
+    ``info['missing_conv1x1_blocks']`` lists (block, rdb) pairs that had no 1×1
+    weight in the checkpoint (vanilla-ESRGAN case).
+    """
+    inferred = infer_rrdbnet_config(sd)
+    if cfg is None:
+        cfg = inferred
+    else:
+        for f in ("in_nc", "out_nc", "nf", "nb", "gc"):
+            a, b = getattr(cfg, f), getattr(inferred, f)
+            if a != b:
+                raise ValueError(f"checkpoint mismatch: cfg.{f}={a} but checkpoint has {b}")
+        if cfg.conv1x1 and not inferred.conv1x1 and missing_conv1x1 == "error":
+            raise ValueError("checkpoint has no conv1x1 weights but cfg.conv1x1=True")
+
+    def conv(prefix: str, bias: bool = True) -> dict:
+        # conv5 is a one-module Sequential in the reference (its `sequential`
+        # helper only collapses when called with a single argument), so its keys
+        # carry a trailing ".0"; accept both forms.
+        if prefix + ".weight" not in sd and prefix + ".0.weight" in sd:
+            prefix = prefix + ".0"
+        p = {"w": jnp.asarray(_oihw_to_hwio(sd[prefix + ".weight"]), dtype)}
+        if bias:
+            p["b"] = jnp.asarray(sd[prefix + ".bias"], dtype)
+        return p
+
+    missing = []
+
+    def rdb(n: int, k: int) -> dict:
+        base = f"model.1.sub.{n}.RDB{k}"
+        p = {
+            "conv1": conv(base + ".conv1.0"),
+            "conv2": conv(base + ".conv2.0"),
+            "conv3": conv(base + ".conv3.0"),
+            "conv4": conv(base + ".conv4.0"),
+            "conv5": conv(base + ".conv5"),
+        }
+        if cfg.conv1x1:
+            key = base + ".conv1x1.weight"
+            if key in sd:
+                p["conv1x1"] = {"w": jnp.asarray(_oihw_to_hwio(sd[key]), dtype)}
+            else:
+                missing.append((n, k))
+                p["conv1x1"] = {"w": jnp.zeros((1, 1, cfg.nf, cfg.gc), dtype)}
+        return p
+
+    # Stack per-block params along a leading nb axis for lax.scan.
+    def stacked(k: int) -> dict:
+        per_block = [rdb(n, k) for n in range(cfg.nb)]
+        return {
+            name: {
+                leaf: jnp.stack([blk[name][leaf] for blk in per_block])
+                for leaf in per_block[0][name]
+            }
+            for name in per_block[0]
+        }
+
+    trunk = {"rdb1": stacked(1), "rdb2": stacked(2), "rdb3": stacked(3)}
+
+    top = sorted({int(m.group(1)) for k in sd if (m := _TOP_KEY.match(k)) and int(m.group(1)) >= 2})
+    params = {
+        "fea_conv": conv("model.0"),
+        "trunk": trunk,
+        "trunk_conv": conv(f"model.1.sub.{cfg.nb}"),
+        "upconvs": [conv(f"model.{i}") for i in top[:-2]],
+        "hr_conv0": conv(f"model.{top[-2]}"),
+        "hr_conv1": conv(f"model.{top[-1]}"),
+    }
+    return params, cfg, {"missing_conv1x1_blocks": missing}
+
+
+def rrdbnet_to_state_dict(params: dict, cfg: RRDBNetConfig) -> Dict[str, np.ndarray]:
+    """Export params → a reference-layout state dict (for .pth interop: the
+    reference's test/interp tools can consume our checkpoints)."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(prefix: str, p: dict):
+        sd[prefix + ".weight"] = _hwio_to_oihw(np.asarray(p["w"], np.float32))
+        if "b" in p:
+            sd[prefix + ".bias"] = np.asarray(p["b"], np.float32)
+
+    put("model.0", params["fea_conv"])
+    for n in range(cfg.nb):
+        for k, name in ((1, "rdb1"), (2, "rdb2"), (3, "rdb3")):
+            sub = params["trunk"][name]
+            base = f"model.1.sub.{n}.RDB{k}"
+            for cname in ("conv1", "conv2", "conv3", "conv4", "conv5"):
+                put(f"{base}.{cname}.0", {leaf: sub[cname][leaf][n] for leaf in sub[cname]})
+            if cfg.conv1x1:
+                sd[f"{base}.conv1x1.weight"] = _hwio_to_oihw(
+                    np.asarray(sub["conv1x1"]["w"][n], np.float32))
+    put(f"model.1.sub.{cfg.nb}", params["trunk_conv"])
+    idx = 3
+    for up in params["upconvs"]:
+        put(f"model.{idx}", up)
+        idx += 3
+    put(f"model.{idx - 1}", params["hr_conv0"])
+    put(f"model.{idx + 1}", params["hr_conv1"])
+    return sd

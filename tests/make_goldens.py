@@ -104,7 +104,77 @@ def main():
         ssim_gray=np.float64(ref_utils.calculate_ssim(a_gray, b_gray)),
     )
 
+    _make_rrdb_goldens()
+
     print("goldens written to", GOLDEN)
+
+
+def _import_test_image_arch():
+    """Import the reference's standalone inference arch (test_image/)."""
+    import torch
+
+    sys.path.insert(0, os.path.join(REF, "test_image"))
+    import block as ref_block
+
+    # The reference pins its noise seed tensor to CUDA (test_image/block.py:148);
+    # patch for CPU-only fixture generation (noise is inert in eval mode anyway).
+    def _cpu_init(self, sigma=0.1, is_relative_detach=False):
+        torch.nn.Module.__init__(self)
+        self.sigma = sigma
+        self.is_relative_detach = is_relative_detach
+        self.noise = torch.tensor(0, dtype=torch.float)
+
+    ref_block.GaussianNoise.__init__ = _cpu_init
+    import architecture as ref_arch
+
+    return ref_arch
+
+
+def _make_rrdb_goldens():
+    import torch
+
+    ref_arch = _import_test_image_arch()
+    torch.manual_seed(7)
+
+    # Small ESRGAN+ net, ×4 (two upconv stages).
+    net = ref_arch.RRDB_Net(3, 3, 32, 3, gc=16, upscale=4).eval()
+    torch.save(net.state_dict(), os.path.join(GOLDEN, "rrdb_small_x4.pth"))
+    x = torch.rand(1, 3, 16, 12)
+    with torch.no_grad():
+        y = net(x)
+    np.savez_compressed(
+        os.path.join(GOLDEN, "rrdb_small_x4_io.npz"),
+        x=x.numpy(),
+        y=y.numpy(),
+    )
+
+    # ×2 variant (single upconv stage) exercises the flattened-index key layout.
+    torch.manual_seed(11)
+    net2 = ref_arch.RRDB_Net(3, 3, 24, 2, gc=12, upscale=2).eval()
+    torch.save(net2.state_dict(), os.path.join(GOLDEN, "rrdb_small_x2.pth"))
+    x2 = torch.rand(2, 3, 9, 11)
+    with torch.no_grad():
+        y2 = net2(x2)
+    np.savez_compressed(
+        os.path.join(GOLDEN, "rrdb_small_x2_io.npz"),
+        x=x2.numpy(),
+        y=y2.numpy(),
+    )
+
+    # Vanilla-ESRGAN style checkpoint: no conv1x1 keys. Golden output = the same
+    # net with conv1x1 weights zeroed (the mathematically-intended vanilla graph).
+    sd = {k: v for k, v in net.state_dict().items() if "conv1x1" not in k}
+    torch.save(sd, os.path.join(GOLDEN, "rrdb_small_x4_vanilla.pth"))
+    with torch.no_grad():
+        for name, p in net.named_parameters():
+            if "conv1x1" in name:
+                p.zero_()
+        y_vanilla = net(x)
+    np.savez_compressed(
+        os.path.join(GOLDEN, "rrdb_small_x4_vanilla_io.npz"),
+        x=x.numpy(),
+        y=y_vanilla.numpy(),
+    )
 
 
 if __name__ == "__main__":
