@@ -39,6 +39,8 @@ __all__ = [
     "rrdbnet_from_state_dict",
     "rrdbnet_to_state_dict",
     "infer_rrdbnet_config",
+    "discriminator_from_state_dict",
+    "discriminator_to_state_dict",
 ]
 
 _RDB_KEY = re.compile(r"^model\.1\.sub\.(\d+)\.RDB(\d)\.(conv\d(?:x\d)?)(?:\.0)?\.(weight|bias)$")
@@ -190,4 +192,95 @@ def rrdbnet_to_state_dict(params: dict, cfg: RRDBNetConfig) -> Dict[str, np.ndar
         idx += 3
     put(f"model.{idx - 1}", params["hr_conv0"])
     put(f"model.{idx + 1}", params["hr_conv1"])
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# Discriminator (VGG-style) conversion
+# ---------------------------------------------------------------------------
+#
+# Reference flattening (architecture.py:87-129 via block.sequential): stage 0
+# contributes [conv, act]; every later conv_block contributes [conv, bn, act]
+# (or [conv, act] without norm). Classifier = classifier.0 / classifier.2
+# Linears. The first Linear acts on a C-major (NCHW) flatten; our forward
+# transposes to NCHW before flattening, so Linear weights convert as plain
+# transposes.
+
+
+def _d_plan(cfg):
+    """Yield ('a'|'b', stage_idx, has_bn) in flattened feature order."""
+    for i in range(cfg.n_stages):
+        yield ("a", i, cfg.use_bn and i > 0)
+        yield ("b", i, cfg.use_bn)
+
+
+def discriminator_from_state_dict(sd: Dict[str, np.ndarray], cfg, dtype=jnp.float32) -> dict:
+    from esrganplus_tpu.models.discriminator import DiscriminatorVGGConfig  # noqa: F401
+
+    idx = 0
+    convs = []
+    bns = []
+    cur = None
+    for side, i, has_bn in _d_plan(cfg):
+        p = {
+            "w": jnp.asarray(_oihw_to_hwio(sd[f"features.{idx}.weight"]), dtype),
+            "b": jnp.asarray(sd[f"features.{idx}.bias"], dtype),
+        }
+        idx += 1
+        bn = None
+        if has_bn:
+            bn = {
+                "scale": jnp.asarray(sd[f"features.{idx}.weight"], dtype),
+                "bias": jnp.asarray(sd[f"features.{idx}.bias"], dtype),
+                "mean": jnp.asarray(sd[f"features.{idx}.running_mean"], dtype),
+                "var": jnp.asarray(sd[f"features.{idx}.running_var"], dtype),
+            }
+            idx += 1
+        idx += 1  # activation slot
+        if side == "a":
+            cur = {"a": p}
+            if cfg.use_bn:
+                bns.append({"a": bn})
+        else:
+            cur["b"] = p
+            convs.append(cur)
+            if cfg.use_bn:
+                bns[-1]["b"] = bn
+    params = {
+        "convs": convs,
+        "fc0": {
+            "w": jnp.asarray(sd["classifier.0.weight"].T, dtype),
+            "b": jnp.asarray(sd["classifier.0.bias"], dtype),
+        },
+        "fc1": {
+            "w": jnp.asarray(sd["classifier.2.weight"].T, dtype),
+            "b": jnp.asarray(sd["classifier.2.bias"], dtype),
+        },
+    }
+    if cfg.use_bn:
+        params["bn"] = bns
+    return params
+
+
+def discriminator_to_state_dict(params: dict, cfg) -> Dict[str, np.ndarray]:
+    sd: Dict[str, np.ndarray] = {}
+    idx = 0
+    for side, i, has_bn in _d_plan(cfg):
+        p = params["convs"][i][side]
+        sd[f"features.{idx}.weight"] = _hwio_to_oihw(np.asarray(p["w"], np.float32))
+        sd[f"features.{idx}.bias"] = np.asarray(p["b"], np.float32)
+        idx += 1
+        if has_bn:
+            bn = params["bn"][i][side]
+            sd[f"features.{idx}.weight"] = np.asarray(bn["scale"], np.float32)
+            sd[f"features.{idx}.bias"] = np.asarray(bn["bias"], np.float32)
+            sd[f"features.{idx}.running_mean"] = np.asarray(bn["mean"], np.float32)
+            sd[f"features.{idx}.running_var"] = np.asarray(bn["var"], np.float32)
+            sd[f"features.{idx}.num_batches_tracked"] = np.asarray(0, np.int64)
+            idx += 1
+        idx += 1
+    sd["classifier.0.weight"] = np.asarray(params["fc0"]["w"], np.float32).T
+    sd["classifier.0.bias"] = np.asarray(params["fc0"]["b"], np.float32)
+    sd["classifier.2.weight"] = np.asarray(params["fc1"]["w"], np.float32).T
+    sd["classifier.2.bias"] = np.asarray(params["fc1"]["b"], np.float32)
     return sd

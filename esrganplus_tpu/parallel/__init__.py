@@ -1,0 +1,9 @@
+from esrganplus_tpu.parallel.mesh import (
+    data_sharding,
+    local_batch_size,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch", "local_batch_size"]

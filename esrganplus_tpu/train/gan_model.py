@@ -1,0 +1,239 @@
+"""GAN trainers: standard SRGAN and the ESRGAN+ relativistic-average (SRRaGAN).
+
+Functional rebuild of the reference wrappers (``codes/models/SRGAN_model.py``,
+``codes/models/SRRaGAN_model.py``), data-parallel over the mesh:
+
+  * G loss = pixel (L1/L2) + VGG-perceptual L1 (real features detached,
+    ``SRRaGAN_model.py:128-130``) + GAN term — relativistic pairing for srragan
+    (``SRRaGAN_model.py:133-138``), plain D(fake)-vs-real for srgan;
+  * D loss = RaGAN pair / standard BCE with the fake branch detached
+    (``SRRaGAN_model.py:149-154``), plus optional WGAN-GP;
+  * G updates are gated by ``D_update_ratio`` / ``D_init_iters``
+    (``SRGAN_model.py:65-66,119``) via ``lax.cond`` — D updates every step;
+  * D is "frozen" during the G step by construction — gradients are taken wrt G
+    params only (no ``requires_grad`` bookkeeping needed in a functional core).
+
+Deviation (documented): torch updates D's BatchNorm *running* stats during every
+forward, including the G-step ones. We fold in updates from the D-step forwards
+only. Training math is identical (train-mode BN uses batch stats); only the
+running stats — unused during training — advance on a slightly different schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from esrganplus_tpu.losses import gan_loss, gradient_penalty, ragan_d_loss, ragan_g_loss
+from esrganplus_tpu.models.discriminator import (
+    DiscriminatorVGGConfig,
+    apply_state_updates,
+    discriminator_forward,
+    init_discriminator,
+)
+from esrganplus_tpu.models.rrdb import RRDBNetConfig, init_rrdbnet, rrdbnet_forward
+from esrganplus_tpu.models.vgg import VGGFeatConfig, load_vgg_feat, vgg_feat_forward
+from esrganplus_tpu.parallel import data_sharding, make_mesh, replicated
+from esrganplus_tpu.train.schedule import multistep_lr
+from esrganplus_tpu.train.sr_model import pixel_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class GANTrainConfig:
+    variant: str = "srragan"  # 'srragan' (ESRGAN+) | 'srgan'
+    gan_type: str = "vanilla"  # 'vanilla' | 'lsgan' | 'wgan-gp'
+    lr_g: float = 1e-4
+    lr_d: float = 1e-4
+    beta1_g: float = 0.9
+    beta1_d: float = 0.9
+    beta2: float = 0.999
+    milestones: Sequence[int] = (50_000, 100_000, 200_000, 300_000)
+    lr_gamma: float = 0.5
+    pixel_criterion: str = "l1"
+    pixel_weight: float = 1e-2
+    feature_criterion: str = "l1"
+    feature_weight: float = 1.0
+    gan_weight: float = 5e-3
+    d_update_ratio: int = 1
+    d_init_iters: int = 0
+    gp_weight: float = 10.0
+    vgg_path: Optional[str] = None
+    compute_dtype: Optional[str] = None
+    init_scale_g: float = 0.1
+    init_scale_d: float = 1.0
+
+
+class GANTrainer:
+    """Data-parallel ESRGAN+/SRGAN trainer over a device mesh."""
+
+    def __init__(self, net_g: RRDBNetConfig, net_d: DiscriminatorVGGConfig,
+                 cfg: GANTrainConfig = GANTrainConfig(), mesh=None,
+                 vgg_cfg: VGGFeatConfig = VGGFeatConfig()):
+        self.net_g = net_g
+        self.net_d = net_d
+        self.cfg = cfg
+        self.vgg_cfg = vgg_cfg
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+
+        sched_g = multistep_lr(cfg.lr_g, cfg.milestones, cfg.lr_gamma)
+        sched_d = multistep_lr(cfg.lr_d, cfg.milestones, cfg.lr_gamma)
+        self.lr_schedule = sched_g
+        self.tx_g = optax.adam(sched_g, b1=cfg.beta1_g, b2=cfg.beta2)
+        self.tx_d = optax.adam(sched_d, b1=cfg.beta1_d, b2=cfg.beta2)
+
+        self.use_feature = cfg.feature_weight > 0
+        self.f_params = (load_vgg_feat(cfg.vgg_path, vgg_cfg)
+                         if self.use_feature else None)
+
+        rep = replicated(self.mesh)
+        dat = data_sharding(self.mesh)
+        self._jit_step = jax.jit(
+            self._step,
+            in_shardings=(rep, (dat, dat), rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._jit_eval = jax.jit(
+            functools.partial(rrdbnet_forward, cfg=net_g, train=False),
+            in_shardings=(rep, dat),
+            out_shardings=dat,
+        )
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self, rng) -> dict:
+        kg, kd = jax.random.split(rng)
+        g_params = init_rrdbnet(kg, self.net_g, init_scale=self.cfg.init_scale_g)
+        d_params = init_discriminator(kd, self.net_d, init_scale=self.cfg.init_scale_d)
+        state = {
+            "g_params": g_params,
+            "d_params": d_params,
+            "g_opt": self.tx_g.init(g_params),
+            "d_opt": self.tx_d.init(d_params),
+            "step": jnp.zeros((), jnp.int32),
+        }
+        if self.use_feature:
+            state["f_params"] = self.f_params
+        return jax.device_put(state, replicated(self.mesh))
+
+    # -- loss pieces -------------------------------------------------------
+
+    def _d_logits(self, d_params, x, train=True):
+        logits, new_state = discriminator_forward(d_params, x, self.net_d,
+                                                  train=train, dtype=self._dtype)
+        return logits, new_state
+
+    def _g_loss(self, g_params, d_params, f_params, lr_img, hr_img, rng):
+        cfg = self.cfg
+        fake = rrdbnet_forward(g_params, lr_img, self.net_g, train=True, rng=rng,
+                               dtype=self._dtype).astype(jnp.float32)
+        logs = {}
+        total = 0.0
+        if cfg.pixel_weight > 0:
+            l_pix = cfg.pixel_weight * pixel_loss(fake, hr_img, cfg.pixel_criterion)
+            total += l_pix
+            logs["l_g_pix"] = l_pix
+        if self.use_feature:
+            real_fea = jax.lax.stop_gradient(
+                vgg_feat_forward(f_params, hr_img, self.vgg_cfg, dtype=self._dtype))
+            fake_fea = vgg_feat_forward(f_params, fake, self.vgg_cfg, dtype=self._dtype)
+            l_fea = cfg.feature_weight * pixel_loss(
+                fake_fea.astype(jnp.float32), real_fea.astype(jnp.float32),
+                cfg.feature_criterion)
+            total += l_fea
+            logs["l_g_fea"] = l_fea
+        d_fake, _ = self._d_logits(d_params, fake)
+        if cfg.variant == "srragan":
+            d_real, _ = self._d_logits(d_params, hr_img)
+            l_gan = cfg.gan_weight * ragan_g_loss(d_real, d_fake, cfg.gan_type)
+        else:
+            l_gan = cfg.gan_weight * gan_loss(d_fake, True, cfg.gan_type)
+        total += l_gan
+        logs["l_g_gan"] = l_gan
+        return total, (fake, logs)
+
+    def _d_loss(self, d_params, fake, hr_img, rng):
+        cfg = self.cfg
+        d_real, st_real = self._d_logits(d_params, hr_img)
+        d_fake, st_fake = self._d_logits(d_params, fake)
+        if cfg.variant == "srragan":
+            loss = ragan_d_loss(d_real, d_fake, cfg.gan_type)
+        else:
+            loss = (gan_loss(d_real, True, cfg.gan_type)
+                    + gan_loss(d_fake, False, cfg.gan_type))
+        if cfg.gan_type == "wgan-gp":
+            def d_apply(p, x):
+                return self._d_logits(p, x)[0]
+            loss = loss + cfg.gp_weight * gradient_penalty(d_apply, d_params, hr_img, fake, rng)
+        logs = {"l_d_total": loss, "D_real": jnp.mean(d_real), "D_fake": jnp.mean(d_fake)}
+        return loss, (st_fake, logs)
+
+    # -- step --------------------------------------------------------------
+
+    def _step(self, state, batch, rng):
+        cfg = self.cfg
+        lr_img, hr_img = batch
+        rng_noise, rng_gp = jax.random.split(jax.random.fold_in(rng, state["step"]))
+        f_params = state.get("f_params")
+
+        # ---- G update (gated by d_update_ratio / d_init_iters) ----
+        do_g = jnp.logical_and(state["step"] % cfg.d_update_ratio == 0,
+                               state["step"] >= cfg.d_init_iters)
+
+        def g_update(operand):
+            g_params, g_opt = operand
+            (g_total, (fake, g_logs)), grads = jax.value_and_grad(
+                self._g_loss, has_aux=True)(g_params, state["d_params"], f_params,
+                                            lr_img, hr_img, rng_noise)
+            updates, new_g_opt = self.tx_g.update(grads, g_opt, g_params)
+            new_g_params = optax.apply_updates(g_params, updates)
+            g_logs = {**g_logs, "l_g_total": g_total}
+            return new_g_params, new_g_opt, fake, g_logs
+
+        def g_skip(operand):
+            g_params, g_opt = operand
+            fake = rrdbnet_forward(g_params, lr_img, self.net_g, train=True,
+                                   rng=rng_noise, dtype=self._dtype).astype(jnp.float32)
+            zeros = {"l_g_pix": 0.0, "l_g_fea": 0.0, "l_g_gan": 0.0, "l_g_total": 0.0}
+            if cfg.pixel_weight <= 0:
+                zeros.pop("l_g_pix")
+            if not self.use_feature:
+                zeros.pop("l_g_fea")
+            zeros = {k: jnp.zeros(()) for k in zeros}
+            return g_params, g_opt, fake, zeros
+
+        new_g_params, new_g_opt, fake, g_logs = jax.lax.cond(
+            do_g, g_update, g_skip, (state["g_params"], state["g_opt"]))
+
+        # ---- D update (every step; fake detached) ----
+        fake_detached = jax.lax.stop_gradient(fake)
+        (d_total, (d_state, d_logs)), d_grads = jax.value_and_grad(
+            self._d_loss, has_aux=True)(state["d_params"], fake_detached, hr_img, rng_gp)
+        d_updates, new_d_opt = self.tx_d.update(d_grads, state["d_opt"], state["d_params"])
+        new_d_params = optax.apply_updates(state["d_params"], d_updates)
+        new_d_params = apply_state_updates(new_d_params, d_state, self.net_d)
+
+        logs = {**g_logs, **d_logs, "lr": self.lr_schedule(state["step"])}
+        new_state = {
+            "g_params": new_g_params,
+            "d_params": new_d_params,
+            "g_opt": new_g_opt,
+            "d_opt": new_d_opt,
+            "step": state["step"] + 1,
+        }
+        if self.use_feature:
+            new_state["f_params"] = f_params
+        return new_state, logs
+
+    def train_step(self, state, batch, rng):
+        """One G+D step. ``batch`` = (LR NHWC, HR NHWC) float32 [0,1]."""
+        return self._jit_step(state, batch, rng)
+
+    def predict(self, g_params, lr_img):
+        return self._jit_eval(g_params, lr_img)

@@ -18,6 +18,19 @@ import numpy as np
 REF = os.environ.get("REFERENCE_PATH", "/root/reference")
 HERE = os.path.dirname(os.path.abspath(__file__))
 GOLDEN = os.path.join(HERE, "golden")
+# Large fixtures regenerate on demand from the reference; not committed.
+CACHE = os.path.join(HERE, "golden_cache")
+
+
+def ensure_cached_goldens() -> bool:
+    """Generate large fixtures into tests/golden_cache if missing. Returns False
+    when the reference checkout is unavailable (callers should skip)."""
+    if os.path.exists(os.path.join(CACHE, "d_vgg128_io.npz")):
+        return True
+    if not os.path.isdir(REF):
+        return False
+    _make_discriminator_goldens()
+    return True
 
 
 def _import_reference_modules():
@@ -105,8 +118,80 @@ def main():
     )
 
     _make_rrdb_goldens()
+    _make_discriminator_goldens()
+    _make_vgg_goldens()
 
     print("goldens written to", GOLDEN)
+
+
+def _make_discriminator_goldens(out_dir=None):
+    """Golden logits + BN running-stat trajectory from the reference D_VGG_128.
+
+    base_nf must be 64: the reference classifier hard-codes Linear(512*4*4, 100)
+    (``architecture.py:126``), so any other width crashes upstream. The ~58 MB
+    fixture therefore goes to the gitignored cache dir, generated on demand.
+    """
+    import torch
+
+    _import_reference_modules()
+    sys.path.insert(0, os.path.join(REF, "codes"))
+    import models.modules.architecture as codes_arch
+
+    out_dir = out_dir or CACHE
+    os.makedirs(out_dir, exist_ok=True)
+    torch.manual_seed(21)
+    net = codes_arch.Discriminator_VGG_128(in_nc=3, base_nf=64, norm_type="batch")
+    x0 = torch.rand(2, 3, 128, 128)
+    x1 = torch.rand(2, 3, 128, 128)
+    x2 = torch.rand(2, 3, 128, 128)
+    net.train()
+    with torch.no_grad():
+        logits_train0 = net(x0)  # batch-stat forward; also updates running stats
+        net(x1)
+        net(x2)
+    net.eval()
+    with torch.no_grad():
+        logits_eval = net(x0)
+    torch.save(net.state_dict(), os.path.join(out_dir, "d_vgg128.pth"))
+    np.savez_compressed(
+        os.path.join(out_dir, "d_vgg128_io.npz"),
+        x0=x0.numpy(), x1=x1.numpy(), x2=x2.numpy(),
+        logits_train0=logits_train0.numpy(),
+        logits_eval=logits_eval.numpy(),
+    )
+
+
+def _make_vgg_goldens():
+    """Synthetic torchvision-format VGG19 features (random weights) + reference
+    forward through the truncated [:35] stack with ImageNet normalisation."""
+    import torch
+    import torch.nn as nn
+
+    # Width-reduced VGG19 layout (÷8): validates plan expansion / indices /
+    # pooling semantics without an 80 MB fixture.
+    layout = (8, 8, "M", 16, 16, "M", 32, 32, 32, 32, "M",
+              64, 64, 64, 64, "M", 64, 64, 64, 64, "M")
+    torch.manual_seed(33)
+    mods, cin = [], 3
+    for item in layout:
+        if item == "M":
+            mods.append(nn.MaxPool2d(2, 2))
+        else:
+            mods.append(nn.Conv2d(cin, item, 3, 1, 1))
+            mods.append(nn.ReLU(inplace=False))
+            cin = item
+    features = nn.Sequential(*mods)
+    truncated = nn.Sequential(*list(features.children())[:35]).eval()
+    sd = {f"features.{k}": v for k, v in features.state_dict().items()}
+    torch.save(sd, os.path.join(GOLDEN, "vgg19_random.pth"))
+
+    x = torch.rand(1, 3, 96, 96)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    with torch.no_grad():
+        feat = truncated((x - mean) / std)
+    np.savez_compressed(
+        os.path.join(GOLDEN, "vgg19_io.npz"), x=x.numpy(), feat=feat.numpy())
 
 
 def _import_test_image_arch():

@@ -1,0 +1,147 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esrganplus_tpu.convert.pth import (
+    discriminator_from_state_dict,
+    discriminator_to_state_dict,
+    load_state_dict,
+)
+from esrganplus_tpu.losses import gan_loss, gradient_penalty, ragan_d_loss, ragan_g_loss
+from esrganplus_tpu.models.discriminator import (
+    DiscriminatorVGGConfig,
+    apply_state_updates,
+    discriminator_forward,
+    init_discriminator,
+)
+from esrganplus_tpu.models.vgg import VGGFeatConfig, vgg_feat_forward, vgg_feat_from_state_dict
+
+import make_goldens
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+CACHE = make_goldens.CACHE
+
+D_CFG = DiscriminatorVGGConfig(input_size=128, base_nf=64)
+
+
+def _nchw(x):
+    return np.transpose(x, (0, 2, 3, 1))
+
+
+@pytest.fixture(scope="module")
+def d_fixture():
+    if not make_goldens.ensure_cached_goldens():
+        pytest.skip("reference checkout unavailable; cached goldens missing")
+    sd = load_state_dict(os.path.join(CACHE, "d_vgg128.pth"))
+    io = np.load(os.path.join(CACHE, "d_vgg128_io.npz"))
+    return sd, io
+
+
+def test_discriminator_eval_parity(d_fixture):
+    sd, io = d_fixture
+    params = discriminator_from_state_dict(sd, D_CFG)
+    logits, _ = discriminator_forward(params, jnp.asarray(_nchw(io["x0"])), D_CFG, train=False)
+    np.testing.assert_allclose(np.asarray(logits), io["logits_eval"], atol=2e-4)
+
+
+def test_discriminator_train_mode_parity_and_running_stats(d_fixture):
+    sd, io = d_fixture
+    params = discriminator_from_state_dict(sd, D_CFG)
+    # Reset running stats to init (the golden sd has them post-3-forwards).
+    for entry in params["bn"]:
+        for side in ("a", "b"):
+            if entry[side] is not None:
+                entry[side]["mean"] = jnp.zeros_like(entry[side]["mean"])
+                entry[side]["var"] = jnp.ones_like(entry[side]["var"])
+    # Train-mode logits use batch stats only.
+    logits, st = discriminator_forward(params, jnp.asarray(_nchw(io["x0"])), D_CFG, train=True)
+    np.testing.assert_allclose(np.asarray(logits), io["logits_train0"], atol=2e-4)
+    # Replay the reference's 3 train forwards; running stats must match torch's.
+    params = apply_state_updates(params, st, D_CFG)
+    for name in ("x1", "x2"):
+        _, st = discriminator_forward(params, jnp.asarray(_nchw(io[name])), D_CFG, train=True)
+        params = apply_state_updates(params, st, D_CFG)
+    sd2 = discriminator_to_state_dict(params, D_CFG)
+    for k in sd:
+        if "running_mean" in k or "running_var" in k:
+            np.testing.assert_allclose(sd2[k], sd[k], atol=1e-4, err_msg=k)
+
+
+def test_discriminator_roundtrip(d_fixture):
+    sd, _ = d_fixture
+    params = discriminator_from_state_dict(sd, D_CFG)
+    sd2 = discriminator_to_state_dict(params, D_CFG)
+    assert set(sd2) == set(sd)
+    for k in sd:
+        if k.endswith("num_batches_tracked"):
+            continue  # torch's forward counter; unused by momentum-form BN
+        np.testing.assert_allclose(sd2[k], sd[k], atol=1e-7, err_msg=k)
+
+
+def test_discriminator_96_and_192_shapes():
+    for size in (96, 192):
+        cfg = DiscriminatorVGGConfig(input_size=size, base_nf=16)
+        params = init_discriminator(jax.random.PRNGKey(0), cfg)
+        x = jnp.zeros((2, size, size, 3))
+        logits, _ = discriminator_forward(params, x, cfg, train=True)
+        assert logits.shape == (2, 1)
+
+
+def test_discriminator_spectral_norm_runs():
+    cfg = DiscriminatorVGGConfig(input_size=128, base_nf=16, norm_type=None, spectral_norm=True)
+    params = init_discriminator(jax.random.PRNGKey(0), cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 128, 128, 3))
+    logits, st = discriminator_forward(params, x, cfg, train=True)
+    assert np.isfinite(np.asarray(logits)).all()
+    p2 = apply_state_updates(params, st, cfg)
+    # u vectors should move after a power-iteration step
+    assert not np.allclose(np.asarray(p2["convs"][0]["a"]["u"]),
+                           np.asarray(params["convs"][0]["a"]["u"]))
+
+
+def test_vgg_feature_extractor_parity():
+    sd = load_state_dict(os.path.join(GOLDEN, "vgg19_random.pth"))
+    io = np.load(os.path.join(GOLDEN, "vgg19_io.npz"))
+    layout = (8, 8, "M", 16, 16, "M", 32, 32, 32, 32, "M",
+              64, 64, 64, 64, "M", 64, 64, 64, 64, "M")
+    cfg = VGGFeatConfig(feature_layer=34, layout=layout)
+    params = vgg_feat_from_state_dict(sd, cfg)
+    assert params["pretrained"]
+    feat = vgg_feat_forward(params, jnp.asarray(_nchw(io["x"])), cfg)
+    np.testing.assert_allclose(np.asarray(feat), _nchw(io["feat"]), atol=2e-5)
+
+
+def test_gan_loss_values():
+    logits = jnp.asarray([0.0, 2.0, -2.0])
+    # vanilla BCE-with-logits against ones: -log sigmoid(x)
+    want = -np.mean(np.log(1 / (1 + np.exp(-np.asarray([0.0, 2.0, -2.0])))))
+    assert abs(float(gan_loss(logits, True, "vanilla")) - want) < 1e-6
+    assert abs(float(gan_loss(logits, False, "lsgan")) - np.mean(np.asarray([0, 4.0, 4.0]))) < 1e-6
+    assert abs(float(gan_loss(logits, True, "wgan-gp")) + float(np.mean([0.0, 2.0, -2.0]))) < 1e-6
+
+
+def test_ragan_pair_symmetry():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    d_real = jax.random.normal(k1, (8, 1))
+    d_fake = jax.random.normal(k2, (8, 1))
+    g = float(ragan_g_loss(d_real, d_fake))
+    d = float(ragan_d_loss(d_real, d_fake))
+    # swapping roles swaps the two losses
+    assert abs(float(ragan_g_loss(d_fake, d_real)) - d) < 1e-6
+    assert abs(float(ragan_d_loss(d_fake, d_real)) - g) < 1e-6
+
+
+def test_gradient_penalty_zero_for_linear_critic():
+    # critic(x) = sum of x * 1 → per-sample grad-norm = sqrt(numel); GP is
+    # deterministic: (sqrt(numel) - 1)^2
+    def d_apply(params, x):
+        return jnp.sum(x, axis=(1, 2, 3), keepdims=False)[:, None]
+
+    real = jnp.ones((2, 4, 4, 3))
+    fake = jnp.zeros((2, 4, 4, 3))
+    gp = float(gradient_penalty(d_apply, {}, real, fake, jax.random.PRNGKey(0)))
+    want = (np.sqrt(4 * 4 * 3) - 1.0) ** 2
+    assert abs(gp - want) < 1e-4
