@@ -1,0 +1,196 @@
+"""Training entry point (reference ``codes/train.py`` surface).
+
+    python -m esrganplus_tpu.cli.train -opt path/to/options.json
+
+Covers: PSNR pretraining (``model: "sr"``) and GAN fine-tuning
+(``model: "srgan" | "srragan"``), experiment-dir management, dual loggers,
+periodic validation with PSNR and saved val images, checkpoint/resume with
+optimizer state, reference-layout .pth weight export, optional TensorBoard
+scalars. Training is data-parallel over all visible devices.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+import os
+import time
+
+import numpy as np
+
+
+def _get_tb_writer(log_dir: str):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir=log_dir)
+    except Exception:
+        return None
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-opt", required=True, help="path to option JSON file")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from esrganplus_tpu.data import DeviceFeeder, create_dataloader, create_dataset
+    from esrganplus_tpu.models.rrdb import rrdbnet_forward
+    from esrganplus_tpu.options.options import (
+        build_net_d_config,
+        build_net_g_config,
+        build_train_config,
+        check_resume,
+        dict2str,
+        parse,
+    )
+    from esrganplus_tpu.parallel import make_mesh
+    from esrganplus_tpu.train.checkpoint import (
+        STATE_SUFFIX,
+        load_state,
+        save_networks_pth,
+        save_state,
+    )
+    from esrganplus_tpu.ops.image_io import save_img, tensor2img
+    from esrganplus_tpu.ops.metrics import calculate_psnr
+    from esrganplus_tpu.utils import mkdir_and_rename, set_random_seed, setup_logger
+
+    opt = parse(args.opt, is_train=True)
+    resume_path = opt["path"].get("resume_state")
+    if resume_path:
+        check_resume(opt)
+    else:
+        mkdir_and_rename(opt["path"]["experiments_root"])
+    for key in ("models", "training_state", "val_images", "log"):
+        os.makedirs(opt["path"][key], exist_ok=True)
+
+    logger = setup_logger("base", opt["path"]["log"], "train", screen=True)
+    logger.info(dict2str(opt))
+    tb = _get_tb_writer(os.path.join(opt["path"]["log"], "tb")) \
+        if (opt.get("use_tb_logger") and "debug" not in opt["name"]) else None
+
+    seed = opt["train"].get("manual_seed") or 0
+    set_random_seed(seed)
+
+    # ---- data ----
+    train_opt_ds = None
+    val_ds = None
+    for phase, ds_opt in opt["datasets"].items():
+        if ds_opt["phase"] == "train":
+            train_opt_ds = ds_opt
+        elif ds_opt["phase"] == "val":
+            val_ds = create_dataset(ds_opt)
+    assert train_opt_ds is not None, "no train dataset in options"
+    train_ds = create_dataset(train_opt_ds)
+    train_loader = create_dataloader(train_ds, train_opt_ds, seed=seed)
+    batch_size = train_opt_ds.get("batch_size", 16)
+    niter = int(opt["train"].get("niter", 500_000))
+    logger.info(f"train images: {len(train_ds)}, batch {batch_size}, iters {niter:,}")
+
+    # ---- mesh / trainer ----
+    mesh = make_mesh()
+    logger.info(f"devices: {jax.device_count()} ({jax.devices()[0].platform})")
+    net_g = build_net_g_config(opt)
+    model_kind = opt["model"]
+    train_cfg = build_train_config(opt)
+    if model_kind == "sr":
+        from esrganplus_tpu.train import SRTrainer
+
+        trainer = SRTrainer(net_g, train_cfg, mesh=mesh)
+    else:
+        from esrganplus_tpu.train.gan_model import GANTrainer
+
+        net_d = build_net_d_config(opt)
+        trainer = GANTrainer(net_g, net_d, train_cfg, mesh=mesh)
+        if trainer.use_feature and not trainer.f_params.get("pretrained"):
+            logger.warning("VGG19 weights not provided (path.vgg19); perceptual "
+                           "loss uses RANDOM features — supply a torchvision "
+                           "vgg19 .pth for real training")
+    state = trainer.init_state(jax.random.PRNGKey(seed))
+
+    # ---- pretrained / resume ----
+    g_key = "params" if model_kind == "sr" else "g_params"
+    if opt["path"].get("pretrain_model_G") and not resume_path:
+        from esrganplus_tpu.convert import load_state_dict, rrdbnet_from_state_dict
+        from esrganplus_tpu.parallel import replicated
+
+        params, _, _ = rrdbnet_from_state_dict(load_state_dict(opt["path"]["pretrain_model_G"]), net_g)
+        state[g_key] = jax.device_put(params, replicated(mesh))
+        logger.info(f"loaded pretrained G from {opt['path']['pretrain_model_G']}")
+    start_step = 0
+    if resume_path:
+        state = load_state(resume_path, state)
+        start_step = int(np.asarray(state["step"]))
+        logger.info(f"resumed from {resume_path} at step {start_step}")
+
+    # ---- loop ----
+    feeder = iter(DeviceFeeder(train_loader, mesh, keys=("LR", "HR")))
+    print_freq = opt["logger"].get("print_freq", 100)
+    val_freq = opt["train"].get("val_freq", 5000)
+    save_freq = opt["train"].get("save_checkpoint_freq", 5000)
+    rng = jax.random.PRNGKey(seed + 1)
+
+    t_last = time.time()
+    for step in range(start_step, niter):
+        batch_dev, _ = next(feeder)
+        state, logs = trainer.train_step(state, batch_dev, rng)
+
+        if (step + 1) % print_freq == 0:
+            logs_h = {k: float(v) for k, v in logs.items()}
+            dt = (time.time() - t_last) / print_freq
+            t_last = time.time()
+            msg = f"<step:{step + 1:8,d}, {dt*1000:6.1f} ms/it> " + " ".join(
+                f"{k}: {v:.4e}" for k, v in logs_h.items())
+            logger.info(msg)
+            if tb:
+                for k, v in logs_h.items():
+                    tb.add_scalar(k, v, step + 1)
+
+        if val_ds is not None and (step + 1) % val_freq == 0:
+            g_params = state[g_key]
+            psnrs = []
+            scale = net_g.upscale
+            for sample in val_ds:
+                lr_img = sample["LR"][None]
+                sr = np.asarray(trainer.predict(g_params, lr_img))[0]
+                sr_img = tensor2img(sr)
+                gt_img = tensor2img(sample["HR"])
+                base = os.path.splitext(os.path.basename(sample["HR_path"]))[0]
+                img_dir = os.path.join(opt["path"]["val_images"], base)
+                os.makedirs(img_dir, exist_ok=True)
+                save_img(sr_img, os.path.join(img_dir, f"{base}_{step + 1}.png"))
+                c = scale
+                psnrs.append(calculate_psnr(
+                    sr_img[c:-c, c:-c].astype(np.float64),
+                    gt_img[c:-c, c:-c].astype(np.float64)))
+            mean_psnr = float(np.mean(psnrs))
+            logger.info(f"# Validation # PSNR: {mean_psnr:.4e}")
+            if tb:
+                tb.add_scalar("val_psnr", mean_psnr, step + 1)
+
+        if (step + 1) % save_freq == 0:
+            logger.info("Saving models and training states.")
+            tag = step + 1
+            save_state(os.path.join(opt["path"]["training_state"], f"{tag}{STATE_SUFFIX}"),
+                       state)
+            if model_kind == "sr":
+                save_networks_pth(opt["path"]["models"], tag, state["params"], net_g)
+            else:
+                save_networks_pth(opt["path"]["models"], tag, state["g_params"], net_g,
+                                  state["d_params"], net_d)
+
+    logger.info("Saving the final model.")
+    if model_kind == "sr":
+        save_networks_pth(opt["path"]["models"], "latest", state["params"], net_g)
+    else:
+        save_networks_pth(opt["path"]["models"], "latest", state["g_params"], net_g,
+                          state["d_params"], net_d)
+    logger.info("End of training.")
+    if hasattr(train_loader, "stop"):
+        train_loader.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Checkpoint / resume.
+
+Reference semantics (``codes/models/base_model.py:50-85``): per-network weight
+files ``<iter>_G.pth`` / ``<iter>_D.pth`` plus a trainer-state file with
+epoch/iter/optimizer/scheduler state, saved every ``save_checkpoint_freq`` and
+restored via ``resume_state``.
+
+Here the full train state (params, optimizer pytrees, step) is one
+``<iter>.state.npz`` — leaves flattened in treedef order, restored against a
+template state from ``trainer.init_state`` so arbitrary optax structures
+round-trip without pickling. Generator/discriminator weights are additionally
+exported as reference-layout ``.pth`` so the upstream tools (test.py,
+net_interp.py, transfer_params.py) can consume our checkpoints directly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+STATE_SUFFIX = ".state.npz"
+
+
+def save_state(path: str, state) -> None:
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    meta = {"n_leaves": len(leaves), "treedef": str(treedef)}
+    np.savez(path, __meta__=json.dumps(meta), **arrays)
+
+
+def load_state(path: str, template_state):
+    """Restore into the structure of ``template_state`` (shape-checked)."""
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data["__meta__"]))
+        leaves = [data[f"leaf_{i}"] for i in range(meta["n_leaves"])]
+    t_leaves, treedef = jax.tree_util.tree_flatten(template_state)
+    if len(t_leaves) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves but template has {len(t_leaves)} "
+            "— config mismatch?")
+    for i, (a, b) in enumerate(zip(leaves, t_leaves)):
+        if tuple(a.shape) != tuple(np.shape(b)):
+            raise ValueError(f"leaf {i} shape {a.shape} != template {np.shape(b)}")
+    restored = [np.asarray(a, dtype=np.asarray(b).dtype) for a, b in zip(leaves, t_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, restored)
+
+
+def _save_pth(path: str, sd) -> None:
+    import torch
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
+
+
+def save_networks_pth(models_dir: str, tag, g_params, g_cfg, d_params=None,
+                      d_cfg=None) -> None:
+    """Export weights in reference-layout .pth (``<tag>_G.pth``, ``<tag>_D.pth``)."""
+    from esrganplus_tpu.convert.pth import discriminator_to_state_dict, rrdbnet_to_state_dict
+
+    _save_pth(os.path.join(models_dir, f"{tag}_G.pth"), rrdbnet_to_state_dict(g_params, g_cfg))
+    if d_params is not None and d_cfg is not None:
+        _save_pth(os.path.join(models_dir, f"{tag}_D.pth"),
+                  discriminator_to_state_dict(d_params, d_cfg))
+
+
+def latest_state_path(state_dir: str) -> Optional[str]:
+    if not os.path.isdir(state_dir):
+        return None
+    states = [f for f in os.listdir(state_dir) if f.endswith(STATE_SUFFIX)]
+    if not states:
+        return None
+    states.sort(key=lambda f: int(f.split(".")[0]))
+    return os.path.join(state_dir, states[-1])

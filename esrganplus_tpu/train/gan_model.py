@@ -101,8 +101,10 @@ class GANTrainer:
         )
         self._jit_eval = jax.jit(
             functools.partial(rrdbnet_forward, cfg=net_g, train=False),
-            in_shardings=(rep, dat),
-            out_shardings=dat,
+            # batch-1 validation images can't shard across the data axis;
+            # replicate instead (eval cost is negligible vs training).
+            in_shardings=(rep, rep),
+            out_shardings=rep,
         )
 
     # -- state -------------------------------------------------------------
