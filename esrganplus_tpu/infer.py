@@ -71,3 +71,62 @@ class SRInferencer:
         rgb = img2tensor(img_bgr01)
         out = self.upscale(rgb)
         return tensor2img(out)
+
+    def upscale_x8(self, img_rgb: np.ndarray) -> np.ndarray:
+        """Geometric self-ensemble (EDSR-style ``test_x8``, reference
+        ``codes/models/SR_model.py:82-120``): average the SR results of the 8
+        dihedral transforms of the input, each inverse-transformed back."""
+        assert img_rgb.ndim == 3
+
+        def tf(img, op):
+            if op == "v":
+                return img[:, ::-1, :]
+            if op == "h":
+                return img[::-1, :, :]
+            return img.transpose(1, 0, 2)  # 't'
+
+        variants = [img_rgb]
+        for op in ("v", "h", "t"):
+            variants.extend(tf(v, op) for v in list(variants))
+        outs = []
+        for i, v in enumerate(variants):
+            y = self.upscale(np.ascontiguousarray(v))
+            # inverse: ops applied in order v(bit0), h(bit1), t(bit2) — undo in reverse
+            if i > 3:
+                y = y.transpose(1, 0, 2)
+            if (i % 4) > 1:
+                y = y[::-1, :, :]
+            if (i % 2) == 1:
+                y = y[:, ::-1, :]
+            outs.append(y)
+        return np.mean(outs, axis=0)
+
+    def upscale_tiled(self, img_rgb: np.ndarray, tile: int = 128, halo: int = 16) -> np.ndarray:
+        """Spatially-tiled SR for images too large for one pass.
+
+        Tiles of ``tile``×``tile`` LR px are forwarded with a ``halo``-px
+        overlap and centre-stitched. The RRDB trunk's receptive field decays
+        fast; halo 16 keeps stitching error below visual/metric thresholds but
+        is NOT bit-exact vs whole-image inference near tile seams.
+        """
+        h, w, c = img_rgb.shape
+        s = self.cfg.upscale
+        out = np.zeros((h * s, w * s, c), np.float32)
+        step = tile - 2 * halo
+        assert step > 0, "tile must exceed 2*halo"
+        ys = list(range(0, max(h - 2 * halo, 1), step))
+        xs = list(range(0, max(w - 2 * halo, 1), step))
+        for y0 in ys:
+            for x0 in xs:
+                y1, x1 = min(y0 + tile, h), min(x0 + tile, w)
+                y0c, x0c = max(0, y1 - tile), max(0, x1 - tile)
+                tile_in = img_rgb[y0c:y1, x0c:x1, :]
+                sr = self.upscale(tile_in)
+                # centre region (skip halo except at image borders)
+                ty0 = 0 if y0c == 0 else halo
+                tx0 = 0 if x0c == 0 else halo
+                ty1 = (y1 - y0c) if y1 == h else (y1 - y0c) - halo
+                tx1 = (x1 - x0c) if x1 == w else (x1 - x0c) - halo
+                out[(y0c + ty0) * s:(y0c + ty1) * s, (x0c + tx0) * s:(x0c + tx1) * s, :] = \
+                    sr[ty0 * s:ty1 * s, tx0 * s:tx1 * s, :]
+        return out

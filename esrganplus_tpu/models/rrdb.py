@@ -59,6 +59,11 @@ class RRDBNetConfig:
     res_scale: float = 0.2
     # lax.scan unroll factor over the nb blocks.
     unroll: int = 1
+    # Fused "by-source" RDB formulation (see _rdb_forward_fused): mathematically
+    # identical weight regrouping that widens conv output channels from 32 to
+    # 96-224 so the MXU's 128 lanes aren't 75% idle. Parity-tested vs the naive
+    # graph; disable to run the literal reference dataflow.
+    fused: bool = True
 
     @property
     def n_upscale_stages(self) -> int:
@@ -138,11 +143,73 @@ def _rdb_forward(x, p: Params, cfg: RRDBNetConfig, key, train: bool, dtype):
     return out
 
 
+def _rdb_forward_fused(x, p: Params, cfg: RRDBNetConfig, key, train: bool, dtype):
+    """By-source reformulation of the RDB — identical math, MXU-shaped.
+
+    The naive dataflow runs five convs whose output widths are gc=32 (final one
+    nf=64) against the MXU's 128 lanes: ≤25% lane utilisation. Observing that a
+    conv over ``concat(a, b)`` equals ``conv(a, Wa) + conv(b, Wb)``, we regroup
+    the SAME weights by *input source* instead of by *target*: each intermediate
+    tensor does one wide conv producing its contributions to every later target
+    (widths 224/160/128/96/64 for nf=64, gc=32), and targets are formed by
+    summing contributions. The ESRGAN+ 1×1 shortcut rides along as zero-padded
+    3×3 taps appended to the first conv (its lane tile was padding anyway), and
+    is added after t2's activation exactly like the reference graph.
+    """
+    nf, gc = cfg.nf, cfg.gc
+    a = lambda t: act(t, cfg.act_type, cfg.act_slope)
+
+    # Per-source output layout: [t5 (nf) | t_next (gc) | later ts…(gc each) | 1×1].
+    # t5 first keeps the five-way x5 accumulation on offset-0, 128-aligned lane
+    # slices — the profiler showed misaligned 64-wide slice-adds (lane rotates of
+    # 33 MB tensors) dominating the elementwise time.
+    def src_w(lo, width, names):
+        return jnp.concatenate(
+            [p["conv5"]["w"][:, :, lo:lo + width, :]]
+            + [p[n]["w"][:, :, lo:lo + width, :] for n in names], axis=-1)
+
+    parts = [src_w(0, nf, ("conv1", "conv2", "conv3", "conv4"))]
+    if cfg.conv1x1:
+        parts.append(jnp.pad(p["conv1x1"]["w"], ((1, 1), (1, 1), (0, 0), (0, 0))))
+    w_x = jnp.concatenate(parts, axis=-1)
+
+    def tail_w(src_idx):
+        lo = nf + (src_idx - 1) * gc
+        names = ("conv2", "conv3", "conv4")[src_idx - 1:]
+        return src_w(lo, gc, names)
+
+    b = {i: p[f"conv{i}"]["b"] for i in range(1, 6)}
+    if dtype is not None:
+        b = {i: v.astype(dtype) for i, v in b.items()}
+
+    # slice helpers: contribution of source s to target t sits at lane offset
+    # nf (t5 block) + position within the remaining [t_{s+1}, …, t4] run.
+    cx = conv2d(x, {"w": w_x}, dtype=dtype)
+    x1 = a(cx[..., nf:nf + gc] + b[1])
+    cx1 = conv2d(x1, {"w": tail_w(1)}, dtype=dtype)
+    x2 = a(cx[..., nf + gc:nf + 2 * gc] + cx1[..., nf:nf + gc] + b[2])
+    if cfg.conv1x1:
+        x2 = x2 + cx[..., nf + 4 * gc:]
+    cx2 = conv2d(x2, {"w": tail_w(2)}, dtype=dtype)
+    x3 = a(cx[..., nf + 2 * gc:nf + 3 * gc] + cx1[..., nf + gc:nf + 2 * gc]
+           + cx2[..., nf:nf + gc] + b[3])
+    cx3 = conv2d(x3, {"w": tail_w(3)}, dtype=dtype)
+    x4 = a(cx[..., nf + 3 * gc:nf + 4 * gc] + cx1[..., nf + 2 * gc:nf + 3 * gc]
+           + cx2[..., nf + gc:nf + 2 * gc] + cx3[..., nf:nf + gc] + b[4]) + x2
+    cx4 = conv2d(x4, {"w": tail_w(4)}, dtype=dtype)
+    x5 = (cx[..., :nf] + cx1[..., :nf] + cx2[..., :nf] + cx3[..., :nf] + cx4 + b[5])
+    out = x5 * cfg.res_scale + x
+    if train and cfg.rdb_noise and cfg.noise_sigma > 0:
+        out = gaussian_noise(out, key, cfg.noise_sigma, cfg.noise_relative_detach)
+    return out
+
+
 def _rrdb_forward(x, p: Params, cfg: RRDBNetConfig, key, train: bool, dtype):
+    rdb = _rdb_forward_fused if cfg.fused else _rdb_forward
     k1, k2, k3, k4 = jax.random.split(key, 4)
-    h = _rdb_forward(x, p["rdb1"], cfg, k1, train, dtype)
-    h = _rdb_forward(h, p["rdb2"], cfg, k2, train, dtype)
-    h = _rdb_forward(h, p["rdb3"], cfg, k3, train, dtype)
+    h = rdb(x, p["rdb1"], cfg, k1, train, dtype)
+    h = rdb(h, p["rdb2"], cfg, k2, train, dtype)
+    h = rdb(h, p["rdb3"], cfg, k3, train, dtype)
     out = h * cfg.res_scale + x
     if train and cfg.rrdb_noise and cfg.noise_sigma > 0:
         out = gaussian_noise(out, key=k4, sigma=cfg.noise_sigma,

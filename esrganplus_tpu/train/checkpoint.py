@@ -54,7 +54,7 @@ def _save_pth(path: str, sd) -> None:
     import torch
 
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
+    torch.save({k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()}, path)
 
 
 def save_networks_pth(models_dir: str, tag, g_params, g_cfg, d_params=None,
