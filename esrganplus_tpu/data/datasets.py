@@ -186,4 +186,8 @@ def create_dataset(opt: Dict):
         return LRDataset(opt)
     if mode == "LRHR":
         return LRHRDataset(opt)
+    if mode == "LRHRseg_bg":
+        from esrganplus_tpu.data.seg_dataset import LRHRSegBGDataset
+
+        return LRHRSegBGDataset(opt)
     raise NotImplementedError(f"Dataset mode [{mode}] not recognized")

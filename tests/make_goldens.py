@@ -33,6 +33,79 @@ def ensure_cached_goldens() -> bool:
     return True
 
 
+def ensure_sft_goldens() -> bool:
+    if os.path.exists(os.path.join(CACHE, "sft_io.npz")):
+        return True
+    if not os.path.isdir(REF):
+        return False
+    _make_sft_goldens()
+    return True
+
+
+def ensure_seg_goldens() -> bool:
+    if os.path.exists(os.path.join(CACHE, "seg_io.npz")):
+        return True
+    if not os.path.isdir(REF):
+        return False
+    _make_seg_goldens()
+    return True
+
+
+def _make_sft_goldens():
+    import torch
+
+    _import_reference_modules()
+    sys.path.insert(0, os.path.join(REF, "codes"))
+    import models.modules.sft_arch as sft_arch
+
+    os.makedirs(CACHE, exist_ok=True)
+    torch.manual_seed(41)
+    net = sft_arch.SFT_Net().eval()
+    img = torch.rand(1, 3, 24, 24)
+    seg = torch.softmax(torch.randn(1, 8, 96, 96), dim=1)
+    with torch.no_grad():
+        out = net((img, seg))
+    torch.save(net.state_dict(), os.path.join(CACHE, "sft_net.pth"))
+    np.savez_compressed(os.path.join(CACHE, "sft_io.npz"),
+                        img=img.numpy(), seg=seg.numpy(), out=out.numpy())
+
+    torch.manual_seed(43)
+    acd = sft_arch.ACD_VGG_BN_96().train()
+    x = torch.rand(2, 3, 96, 96)
+    with torch.no_grad():
+        gan_t, cls_t = acd(x)
+    acd.eval()
+    with torch.no_grad():
+        gan_e, cls_e = acd(x)
+    torch.save(acd.state_dict(), os.path.join(CACHE, "acd.pth"))
+    np.savez_compressed(os.path.join(CACHE, "acd_io.npz"), x=x.numpy(),
+                        gan_t=gan_t.numpy(), cls_t=cls_t.numpy(),
+                        gan_e=gan_e.numpy(), cls_e=cls_e.numpy())
+
+
+def _make_seg_goldens():
+    import torch
+
+    _import_reference_modules()
+    sys.path.insert(0, os.path.join(REF, "codes"))
+    import models.modules.seg_arch as seg_arch
+
+    os.makedirs(CACHE, exist_ok=True)
+    torch.manual_seed(47)
+    net = seg_arch.OutdoorSceneSeg().eval()
+    # randomise BN running stats so eval-mode parity is non-trivial
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.6, 1.4)
+    x = torch.rand(1, 3, 64, 64)
+    with torch.no_grad():
+        out = net(x)
+    torch.save(net.state_dict(), os.path.join(CACHE, "seg.pth"))
+    np.savez_compressed(os.path.join(CACHE, "seg_io.npz"), x=x.numpy(), out=out.numpy())
+
+
 def _import_reference_modules():
     # The reference imports lmdb and torchvision which are absent in this image;
     # stub them (fixture generation only touches numerics code paths).
