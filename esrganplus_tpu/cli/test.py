@@ -26,7 +26,8 @@ def main(argv=None):
 
     from esrganplus_tpu.data import EvalLoader, create_dataset
     from esrganplus_tpu.infer import SRInferencer
-    from esrganplus_tpu.convert import load_state_dict, rrdbnet_from_state_dict
+    from esrganplus_tpu.convert import load_state_dict
+    from esrganplus_tpu.convert.pth import generator_from_state_dict
     from esrganplus_tpu.options.options import build_net_g_config, dict2str, parse
     from esrganplus_tpu.ops.color import bgr2ycbcr
     from esrganplus_tpu.ops.image_io import save_img, tensor2img
@@ -41,13 +42,22 @@ def main(argv=None):
     net_g = build_net_g_config(opt)
     model_path = opt["path"]["pretrain_model_G"]
     assert model_path, "path.pretrain_model_G must point to a checkpoint"
-    params, net_g, info = rrdbnet_from_state_dict(load_state_dict(model_path), net_g)
+    params, net_g, info = generator_from_state_dict(load_state_dict(model_path), net_g)
     if info["missing_conv1x1_blocks"]:
         logger.info(f"checkpoint lacks conv1x1 for {len(info['missing_conv1x1_blocks'])} "
                     "RDBs; zeros substituted (vanilla-ESRGAN checkpoint)")
     dtype = jnp.bfloat16 if (opt.get("compute_dtype") == "bfloat16") else None
     inferencer = SRInferencer(params, net_g, dtype=dtype)
     scale = net_g.upscale
+    # mode: 'normal' | 'x8' (geometric self-ensemble) | 'tiled' (large inputs)
+    mode = opt.get("test_mode") or "normal"
+    if mode == "x8":
+        upscale_fn = inferencer.upscale_x8
+    elif mode == "tiled":
+        upscale_fn = lambda img: inferencer.upscale_tiled(
+            img, tile=opt.get("tile_size") or 128, halo=opt.get("tile_halo") or 16)
+    else:
+        upscale_fn = inferencer.upscale
 
     for name, ds_opt in opt["datasets"].items():
         ds_opt["phase"] = "test"
@@ -61,7 +71,7 @@ def main(argv=None):
         t0 = time.time()
         for sample in EvalLoader(test_set):
             base = os.path.splitext(os.path.basename(sample["LR_path"]))[0]
-            sr = inferencer.upscale(sample["LR"])
+            sr = upscale_fn(sample["LR"])
             sr_img = tensor2img(sr)  # BGR uint8
             suffix = opt.get("suffix") or ""
             save_img(sr_img, os.path.join(dataset_dir, base + suffix + ".png"))

@@ -37,7 +37,6 @@ def main(argv=None):
     import jax
 
     from esrganplus_tpu.data import DeviceFeeder, create_dataloader, create_dataset
-    from esrganplus_tpu.models.rrdb import rrdbnet_forward
     from esrganplus_tpu.options.options import (
         build_net_d_config,
         build_net_g_config,
@@ -113,10 +112,11 @@ def main(argv=None):
     # ---- pretrained / resume ----
     g_key = "params" if model_kind == "sr" else "g_params"
     if opt["path"].get("pretrain_model_G") and not resume_path:
-        from esrganplus_tpu.convert import load_state_dict, rrdbnet_from_state_dict
+        from esrganplus_tpu.convert import load_state_dict
+        from esrganplus_tpu.convert.pth import generator_from_state_dict
         from esrganplus_tpu.parallel import replicated
 
-        params, _, _ = rrdbnet_from_state_dict(load_state_dict(opt["path"]["pretrain_model_G"]), net_g)
+        params, _, _ = generator_from_state_dict(load_state_dict(opt["path"]["pretrain_model_G"]), net_g)
         state[g_key] = jax.device_put(params, replicated(mesh))
         logger.info(f"loaded pretrained G from {opt['path']['pretrain_model_G']}")
     start_step = 0

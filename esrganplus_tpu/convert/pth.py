@@ -284,3 +284,28 @@ def discriminator_to_state_dict(params: dict, cfg) -> Dict[str, np.ndarray]:
     sd["classifier.2.weight"] = np.asarray(params["fc1"]["w"], np.float32).T
     sd["classifier.2.bias"] = np.asarray(params["fc1"]["b"], np.float32)
     return sd
+
+
+# ---------------------------------------------------------------------------
+# Generator-family dispatch
+# ---------------------------------------------------------------------------
+
+
+def generator_from_state_dict(sd: Dict[str, np.ndarray], cfg=None, **kw):
+    """Dispatch: RRDBNet checkpoints have RDB keys; SRResNet ones have .res keys.
+    Returns (params, cfg, info)."""
+    from esrganplus_tpu.models.srresnet import SRResNetConfig, srresnet_from_state_dict
+
+    is_srresnet = any(".res.0.weight" in k for k in sd) or isinstance(cfg, SRResNetConfig)
+    if is_srresnet:
+        params, cfg = srresnet_from_state_dict(sd, cfg)
+        return params, cfg, {"missing_conv1x1_blocks": []}
+    return rrdbnet_from_state_dict(sd, cfg, **kw)
+
+
+def generator_to_state_dict(params: dict, cfg) -> Dict[str, np.ndarray]:
+    from esrganplus_tpu.models.srresnet import SRResNetConfig, srresnet_to_state_dict
+
+    if isinstance(cfg, SRResNetConfig):
+        return srresnet_to_state_dict(params, cfg)
+    return rrdbnet_to_state_dict(params, cfg)

@@ -19,8 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from esrganplus_tpu.convert import load_state_dict, rrdbnet_from_state_dict
-from esrganplus_tpu.models import RRDBNetConfig, rrdbnet_forward
+from esrganplus_tpu.convert import load_state_dict
+from esrganplus_tpu.convert.pth import generator_from_state_dict
+from esrganplus_tpu.models import RRDBNetConfig, generator_forward
 from esrganplus_tpu.ops.image_io import img2tensor, tensor2img
 
 
@@ -28,7 +29,7 @@ def load_generator(path: str, cfg: Optional[RRDBNetConfig] = None,
                    missing_conv1x1: str = "zeros"):
     """Load a reference RRDBNet ``.pth`` → (params, cfg, info)."""
     sd = load_state_dict(path)
-    return rrdbnet_from_state_dict(sd, cfg, missing_conv1x1=missing_conv1x1)
+    return generator_from_state_dict(sd, cfg, missing_conv1x1=missing_conv1x1)
 
 
 class SRInferencer:
@@ -43,7 +44,7 @@ class SRInferencer:
         self.dtype = dtype
         self.pad_multiple = pad_multiple
         self._fwd = jax.jit(
-            functools.partial(rrdbnet_forward, cfg=cfg, train=False, dtype=dtype)
+            functools.partial(generator_forward, cfg=cfg, train=False, dtype=dtype)
         )
 
     def upscale(self, img_rgb: np.ndarray) -> np.ndarray:

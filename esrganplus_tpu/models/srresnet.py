@@ -141,3 +141,29 @@ def srresnet_from_state_dict(sd: Dict[str, np.ndarray], cfg: SRResNetConfig | No
         "hr_conv1": conv(f"model.{top[-1]}"),
     }
     return params, cfg
+
+
+def srresnet_to_state_dict(params, cfg: SRResNetConfig) -> Dict[str, np.ndarray]:
+    """Export params → reference-layout state dict (indices per module docstring)."""
+    from esrganplus_tpu.convert.pth import _hwio_to_oihw
+
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(prefix, p):
+        sd[prefix + ".weight"] = _hwio_to_oihw(np.asarray(p["w"], np.float32))
+        sd[prefix + ".bias"] = np.asarray(p["b"], np.float32)
+
+    put("model.0", params["fea_conv"])
+    for n in range(cfg.nb):
+        put(f"model.1.sub.{n}.res.0",
+            {k: params["trunk"]["conv0"][k][n] for k in ("w", "b")})
+        put(f"model.1.sub.{n}.res.2",
+            {k: params["trunk"]["conv1"][k][n] for k in ("w", "b")})
+    put(f"model.1.sub.{cfg.nb}", params["trunk_conv"])
+    idx = 2
+    for up in params["upconvs"]:
+        put(f"model.{idx}", up)
+        idx += 3  # conv, PixelShuffle, act
+    put(f"model.{idx}", params["hr_conv0"])
+    put(f"model.{idx + 2}", params["hr_conv1"])
+    return sd

@@ -36,7 +36,8 @@ from esrganplus_tpu.models.discriminator import (
     discriminator_forward,
     init_discriminator,
 )
-from esrganplus_tpu.models.rrdb import RRDBNetConfig, init_rrdbnet, rrdbnet_forward
+from esrganplus_tpu.models import generator_forward, generator_init
+from esrganplus_tpu.models.rrdb import RRDBNetConfig
 from esrganplus_tpu.models.vgg import VGGFeatConfig, load_vgg_feat, vgg_feat_forward
 from esrganplus_tpu.parallel import data_sharding, make_mesh, replicated
 from esrganplus_tpu.train.schedule import multistep_lr
@@ -100,7 +101,7 @@ class GANTrainer:
             donate_argnums=(0,),
         )
         self._jit_eval = jax.jit(
-            functools.partial(rrdbnet_forward, cfg=net_g, train=False),
+            functools.partial(generator_forward, cfg=net_g, train=False),
             # batch-1 validation images can't shard across the data axis;
             # replicate instead (eval cost is negligible vs training).
             in_shardings=(rep, rep),
@@ -111,7 +112,7 @@ class GANTrainer:
 
     def init_state(self, rng) -> dict:
         kg, kd = jax.random.split(rng)
-        g_params = init_rrdbnet(kg, self.net_g, init_scale=self.cfg.init_scale_g)
+        g_params = generator_init(kg, self.net_g, init_scale=self.cfg.init_scale_g)
         d_params = init_discriminator(kd, self.net_d, init_scale=self.cfg.init_scale_d)
         state = {
             "g_params": g_params,
@@ -133,8 +134,8 @@ class GANTrainer:
 
     def _g_loss(self, g_params, d_params, f_params, lr_img, hr_img, rng):
         cfg = self.cfg
-        fake = rrdbnet_forward(g_params, lr_img, self.net_g, train=True, rng=rng,
-                               dtype=self._dtype).astype(jnp.float32)
+        fake = generator_forward(g_params, lr_img, self.net_g, train=True, rng=rng,
+                                 dtype=self._dtype).astype(jnp.float32)
         logs = {}
         total = 0.0
         if cfg.pixel_weight > 0:
@@ -200,8 +201,8 @@ class GANTrainer:
 
         def g_skip(operand):
             g_params, g_opt = operand
-            fake = rrdbnet_forward(g_params, lr_img, self.net_g, train=True,
-                                   rng=rng_noise, dtype=self._dtype).astype(jnp.float32)
+            fake = generator_forward(g_params, lr_img, self.net_g, train=True,
+                                     rng=rng_noise, dtype=self._dtype).astype(jnp.float32)
             zeros = {"l_g_pix": 0.0, "l_g_fea": 0.0, "l_g_gan": 0.0, "l_g_total": 0.0}
             if cfg.pixel_weight <= 0:
                 zeros.pop("l_g_pix")

@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from esrganplus_tpu.models.rrdb import RRDBNetConfig, init_rrdbnet, rrdbnet_forward
+from esrganplus_tpu.models import generator_forward, generator_init
+from esrganplus_tpu.models.rrdb import RRDBNetConfig
 from esrganplus_tpu.parallel import data_sharding, make_mesh, replicated
 from esrganplus_tpu.train.schedule import multistep_lr
 
@@ -73,7 +74,7 @@ class SRTrainer:
             donate_argnums=(0,),
         )
         self._jit_eval = jax.jit(
-            functools.partial(rrdbnet_forward, cfg=net_cfg, train=False),
+            functools.partial(generator_forward, cfg=net_cfg, train=False),
             # batch-1 validation images can't shard across the data axis;
             # replicate instead (eval cost is negligible vs training).
             in_shardings=(rep, rep),
@@ -83,7 +84,7 @@ class SRTrainer:
     # -- state -------------------------------------------------------------
 
     def init_state(self, rng) -> dict:
-        params = init_rrdbnet(rng, self.net_cfg, init_scale=self.train_cfg.init_scale)
+        params = generator_init(rng, self.net_cfg, init_scale=self.train_cfg.init_scale)
         state = {
             "params": params,
             "opt_state": self.tx.init(params),
@@ -94,8 +95,8 @@ class SRTrainer:
     # -- steps -------------------------------------------------------------
 
     def _loss_fn(self, params, lr_img, hr_img, rng):
-        fake = rrdbnet_forward(params, lr_img, self.net_cfg, train=True, rng=rng,
-                               dtype=self._dtype)
+        fake = generator_forward(params, lr_img, self.net_cfg, train=True, rng=rng,
+                                 dtype=self._dtype)
         l_pix = self.train_cfg.pixel_weight * pixel_loss(
             fake.astype(jnp.float32), hr_img.astype(jnp.float32),
             self.train_cfg.pixel_criterion)

@@ -319,6 +319,23 @@ def _make_rrdb_goldens():
         y=y2.numpy(),
     )
 
+    # SRResNet ×4 (pixel-shuffle upsampling, relu)
+    sys.path.insert(0, os.path.join(REF, "codes"))
+    if "torchvision" not in sys.modules:
+        _import_reference_modules()
+    import models.modules.architecture as codes_arch
+
+    torch.manual_seed(13)
+    srres = codes_arch.SRResNet(in_nc=3, out_nc=3, nf=16, nb=2, upscale=4,
+                                norm_type=None, act_type="relu",
+                                mode="CNA", upsample_mode="pixelshuffle").eval()
+    torch.save(srres.state_dict(), os.path.join(GOLDEN, "srresnet_small_x4.pth"))
+    xs = torch.rand(1, 3, 12, 10)
+    with torch.no_grad():
+        ys = srres(xs)
+    np.savez_compressed(os.path.join(GOLDEN, "srresnet_small_x4_io.npz"),
+                        x=xs.numpy(), y=ys.numpy())
+
     # Vanilla-ESRGAN style checkpoint: no conv1x1 keys. Golden output = the same
     # net with conv1x1 weights zeroed (the mathematically-intended vanilla graph).
     sd = {k: v for k, v in net.state_dict().items() if "conv1x1" not in k}
