@@ -35,8 +35,10 @@ def main(argv=None):
     from esrganplus_tpu.ops.image_io import img2tensor, read_img, save_img, scan_images, tensor2img
     from esrganplus_tpu.ops.resize import imresize_np
 
-    cfg = SFTNetConfig(legacy=args.legacy)
-    params = sftnet_from_state_dict(load_state_dict(args.model), cfg)
+    sd = load_state_dict(args.model)
+    nb = max(int(k.split(".")[1]) for k in sd if k.startswith("sft_branch.")) - 1
+    cfg = SFTNetConfig(nb=nb, legacy=args.legacy)
+    params = sftnet_from_state_dict(sd, cfg)
     fwd = jax.jit(lambda p, i, s: sftnet_forward(p, i, s, cfg))
 
     os.makedirs(args.output, exist_ok=True)

@@ -20,6 +20,25 @@ import time
 import numpy as np
 
 
+def _export_networks(models_dir, tag, model_kind, state, net_g, net_d):
+    from esrganplus_tpu.train.checkpoint import save_networks_pth
+
+    if model_kind == "sr":
+        save_networks_pth(models_dir, tag, state["params"], net_g)
+    elif model_kind == "sftgan":
+        import torch
+
+        from esrganplus_tpu.models.sft import sftnet_to_state_dict
+
+        sd = sftnet_to_state_dict(state["g_params"], net_g)
+        os.makedirs(models_dir, exist_ok=True)
+        torch.save({k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()},
+                   os.path.join(models_dir, f"{tag}_G.pth"))
+    else:
+        save_networks_pth(models_dir, tag, state["g_params"], net_g,
+                          state["d_params"], net_d)
+
+
 def _get_tb_writer(log_dir: str):
     try:
         from torch.utils.tensorboard import SummaryWriter
@@ -94,19 +113,24 @@ def main(argv=None):
     net_g = build_net_g_config(opt)
     model_kind = opt["model"]
     train_cfg = build_train_config(opt)
+    net_d = None
     if model_kind == "sr":
         from esrganplus_tpu.train import SRTrainer
 
         trainer = SRTrainer(net_g, train_cfg, mesh=mesh)
+    elif model_kind == "sftgan":
+        from esrganplus_tpu.train.sftgan_model import SFTGANTrainer
+
+        trainer = SFTGANTrainer(net_g, train_cfg, mesh=mesh)
     else:
         from esrganplus_tpu.train.gan_model import GANTrainer
 
         net_d = build_net_d_config(opt)
         trainer = GANTrainer(net_g, net_d, train_cfg, mesh=mesh)
-        if trainer.use_feature and not trainer.f_params.get("pretrained"):
-            logger.warning("VGG19 weights not provided (path.vgg19); perceptual "
-                           "loss uses RANDOM features — supply a torchvision "
-                           "vgg19 .pth for real training")
+    if getattr(trainer, "use_feature", False) and not trainer.f_params.get("pretrained"):
+        logger.warning("VGG19 weights not provided (path.vgg19); perceptual "
+                       "loss uses RANDOM features — supply a torchvision "
+                       "vgg19 .pth for real training")
     state = trainer.init_state(jax.random.PRNGKey(seed))
 
     # ---- pretrained / resume ----
@@ -126,7 +150,8 @@ def main(argv=None):
         logger.info(f"resumed from {resume_path} at step {start_step}")
 
     # ---- loop ----
-    feeder = iter(DeviceFeeder(train_loader, mesh, keys=("LR", "HR")))
+    feed_keys = ("LR", "seg", "HR", "category") if model_kind == "sftgan" else ("LR", "HR")
+    feeder = iter(DeviceFeeder(train_loader, mesh, keys=feed_keys))
     print_freq = opt["logger"].get("print_freq", 100)
     val_freq = opt["train"].get("val_freq", 5000)
     save_freq = opt["train"].get("save_checkpoint_freq", 5000)
@@ -154,7 +179,10 @@ def main(argv=None):
             scale = net_g.upscale
             for sample in val_ds:
                 lr_img = sample["LR"][None]
-                sr = np.asarray(trainer.predict(g_params, lr_img))[0]
+                if model_kind == "sftgan":
+                    sr = np.asarray(trainer.predict(g_params, lr_img, sample["seg"][None]))[0]
+                else:
+                    sr = np.asarray(trainer.predict(g_params, lr_img))[0]
                 sr_img = tensor2img(sr)
                 gt_img = tensor2img(sample["HR"])
                 base = os.path.splitext(os.path.basename(sample["HR_path"]))[0]
@@ -175,18 +203,10 @@ def main(argv=None):
             tag = step + 1
             save_state(os.path.join(opt["path"]["training_state"], f"{tag}{STATE_SUFFIX}"),
                        state)
-            if model_kind == "sr":
-                save_networks_pth(opt["path"]["models"], tag, state["params"], net_g)
-            else:
-                save_networks_pth(opt["path"]["models"], tag, state["g_params"], net_g,
-                                  state["d_params"], net_d)
+            _export_networks(opt["path"]["models"], tag, model_kind, state, net_g, net_d)
 
     logger.info("Saving the final model.")
-    if model_kind == "sr":
-        save_networks_pth(opt["path"]["models"], "latest", state["params"], net_g)
-    else:
-        save_networks_pth(opt["path"]["models"], "latest", state["g_params"], net_g,
-                          state["d_params"], net_d)
+    _export_networks(opt["path"]["models"], "latest", model_kind, state, net_g, net_d)
     logger.info("End of training.")
     if hasattr(train_loader, "stop"):
         train_loader.stop()

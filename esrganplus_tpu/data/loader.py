@@ -23,6 +23,8 @@ def collate(samples) -> Dict[str, np.ndarray]:
         vals = [s[key] for s in samples]
         if isinstance(vals[0], np.ndarray):
             out[key] = np.stack(vals)
+        elif isinstance(vals[0], (int, float, np.integer, np.floating)):
+            out[key] = np.asarray(vals)  # e.g. per-sample category labels
         else:
             out[key] = vals
     return out

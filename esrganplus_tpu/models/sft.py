@@ -50,6 +50,7 @@ class SFTNetConfig:
     cond_nf: int = 32
     legacy: bool = False  # torch-version SFT semantics
     unroll: int = 1
+    upscale: int = 4  # fixed ×4 HR branch (two pixel-shuffle stages)
 
     @property
     def sft_slope(self) -> float:
@@ -227,6 +228,13 @@ def _conv_t(sd, prefix, dtype):
 
 def sftnet_from_state_dict(sd: Dict[str, np.ndarray], cfg: SFTNetConfig = SFTNetConfig(),
                            dtype=jnp.float32) -> Params:
+    # Infer depth from the branch keys: indices 0..nb-1 are resblocks, nb the
+    # final SFT layer, nb+1 the final conv.
+    max_idx = max(int(k.split(".")[1]) for k in sd if k.startswith("sft_branch."))
+    nb = max_idx - 1
+    if nb != cfg.nb:
+        cfg = dataclasses.replace(cfg, nb=nb)
+
     def sft_layer(prefix):
         return {
             "scale0": _conv_t(sd, prefix + ".SFT_scale_conv0", dtype),
@@ -258,3 +266,35 @@ def sftnet_from_state_dict(sd: Dict[str, np.ndarray], cfg: SFTNetConfig = SFTNet
         },
         "cond": {f"c{i}": _conv_t(sd, f"CondNet.{2 * i}", dtype) for i in range(5)},
     }
+
+
+def sftnet_to_state_dict(params: Params, cfg: SFTNetConfig = SFTNetConfig()) -> Dict[str, np.ndarray]:
+    """Export params → reference SFT_Net key layout."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(prefix, p):
+        sd[prefix + ".weight"] = np.ascontiguousarray(
+            np.transpose(np.asarray(p["w"], np.float32), (3, 2, 0, 1)))
+        sd[prefix + ".bias"] = np.asarray(p["b"], np.float32)
+
+    def put_sft(prefix, layer, n=None):
+        for ours, theirs in (("scale0", "SFT_scale_conv0"), ("scale1", "SFT_scale_conv1"),
+                             ("shift0", "SFT_shift_conv0"), ("shift1", "SFT_shift_conv1")):
+            p = layer[ours]
+            put(f"{prefix}.{theirs}", {k: (p[k][n] if n is not None else p[k]) for k in p})
+
+    put("conv0", params["conv0"])
+    for i in range(cfg.nb):
+        blk = params["blocks"]
+        put_sft(f"sft_branch.{i}.sft0", blk["sft0"], i)
+        put(f"sft_branch.{i}.conv0", {k: blk["conv0"][k][i] for k in blk["conv0"]})
+        put_sft(f"sft_branch.{i}.sft1", blk["sft1"], i)
+        put(f"sft_branch.{i}.conv1", {k: blk["conv1"][k][i] for k in blk["conv1"]})
+    put_sft(f"sft_branch.{cfg.nb}", params["final_sft"])
+    put(f"sft_branch.{cfg.nb + 1}", params["final_conv"])
+    for ours, theirs in (("up0", "HR_branch.0"), ("up1", "HR_branch.3"),
+                         ("conv0", "HR_branch.6"), ("conv1", "HR_branch.8")):
+        put(theirs, params["hr"][ours])
+    for i in range(5):
+        put(f"CondNet.{2 * i}", params["cond"][f"c{i}"])
+    return sd

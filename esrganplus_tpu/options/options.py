@@ -149,6 +149,13 @@ def build_net_g_config(opt):
             nb=g.get("nb", 16),
             upscale=g.get("scale", 4),
         )
+    if which == "sft_arch":
+        from esrganplus_tpu.models.sft import SFTNetConfig
+
+        return SFTNetConfig(
+            nb=g.get("nb", 16) or 16,
+            legacy=bool(g.get("legacy", False)),
+        )
     raise NotImplementedError(f"Generator model [{which}] not recognized")
 
 
@@ -206,6 +213,26 @@ def build_train_config(opt):
             d_update_ratio=t.get("D_update_ratio", 1),
             d_init_iters=t.get("D_init_iters", 0),
             gp_weight=t.get("gp_weigth_loss", 10.0),
+            vgg_path=(opt["path"] or {}).get("vgg19"),
+            compute_dtype=t.get("compute_dtype"),
+        )
+    if model == "sftgan":
+        from esrganplus_tpu.train.sftgan_model import SFTGANTrainConfig
+
+        return SFTGANTrainConfig(
+            lr_g=t.get("lr_G", 1e-4),
+            lr_d=t.get("lr_D", 1e-4),
+            beta1_g=t.get("beta1_G", 0.9),
+            beta1_d=t.get("beta1_D", 0.9),
+            milestones=tuple(t.get("lr_steps", (50_000, 100_000, 200_000, 300_000))),
+            lr_gamma=t.get("lr_gamma", 0.5),
+            pixel_criterion=t.get("pixel_criterion", "l1"),
+            pixel_weight=t.get("pixel_weight", 1e-2),
+            feature_weight=t.get("feature_weight", 1.0),
+            gan_type=t.get("gan_type", "vanilla"),
+            gan_weight=t.get("gan_weight", 5e-3),
+            d_update_ratio=t.get("D_update_ratio", 1),
+            d_init_iters=t.get("D_init_iters", 0),
             vgg_path=(opt["path"] or {}).get("vgg19"),
             compute_dtype=t.get("compute_dtype"),
         )

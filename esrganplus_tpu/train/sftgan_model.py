@@ -190,3 +190,11 @@ class SFTGANTrainer:
     def train_step(self, state, batch, rng):
         """batch = (LR, seg_HR, HR, category[int]) NHWC float32."""
         return self._jit_step(state, batch, rng)
+
+    def predict(self, g_params, lr_img, seg):
+        import functools
+
+        if not hasattr(self, "_jit_eval"):
+            self._jit_eval = jax.jit(
+                functools.partial(sftnet_forward, cfg=self.net_g))
+        return self._jit_eval(g_params, lr_img, seg)
