@@ -83,6 +83,91 @@ def _make_sft_goldens():
                         gan_e=gan_e.numpy(), cls_e=cls_e.numpy())
 
 
+def ensure_featex_goldens() -> bool:
+    if os.path.exists(os.path.join(CACHE, "minc_io.npz")):
+        return True
+    if not os.path.isdir(REF):
+        return False
+    _make_featex_goldens()
+    return True
+
+
+def _make_featex_goldens():
+    import torch
+    import torch.nn as nn
+
+    _import_reference_modules()
+    sys.path.insert(0, os.path.join(REF, "codes"))
+    import models.modules.architecture as codes_arch
+
+    os.makedirs(CACHE, exist_ok=True)
+    torch.manual_seed(51)
+    minc = codes_arch.MINCNet().eval()
+    x = torch.rand(1, 3, 49, 37)  # odd sizes exercise ceil-mode pools
+    with torch.no_grad():
+        out = minc(x)
+    torch.save(minc.state_dict(), os.path.join(CACHE, "minc.pth"))
+    np.savez_compressed(os.path.join(CACHE, "minc_io.npz"), x=x.numpy(), out=out.numpy())
+
+    # ResNet "mini" in torchvision key layout (1 bottleneck per stage, width/4):
+    # validates the converter + forward against real torch semantics without a
+    # 170 MB resnet101 fixture. torchvision is absent, so replicate the layout.
+    class Bottleneck(nn.Module):
+        def __init__(self, cin, mid, cout, stride):
+            super().__init__()
+            self.conv1 = nn.Conv2d(cin, mid, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(mid)
+            self.conv2 = nn.Conv2d(mid, mid, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(mid)
+            self.conv3 = nn.Conv2d(mid, cout, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(cout)
+            self.downsample = None
+            if cin != cout or stride != 1:
+                self.downsample = nn.Sequential(
+                    nn.Conv2d(cin, cout, 1, stride, bias=False), nn.BatchNorm2d(cout))
+            self.relu = nn.ReLU(True)
+
+        def forward(self, x):
+            idt = x if self.downsample is None else self.downsample(x)
+            r = self.relu(self.bn1(self.conv1(x)))
+            r = self.relu(self.bn2(self.conv2(r)))
+            r = self.bn3(self.conv3(r))
+            return self.relu(idt + r)
+
+    class MiniResNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            w = 16
+            self.conv1 = nn.Conv2d(3, w, 7, 2, 3, bias=False)
+            self.bn1 = nn.BatchNorm2d(w)
+            self.relu = nn.ReLU(True)
+            self.maxpool = nn.MaxPool2d(3, 2, 1)
+            self.layer1 = nn.Sequential(Bottleneck(w, w, w * 4, 1))
+            self.layer2 = nn.Sequential(Bottleneck(w * 4, w * 2, w * 8, 2))
+            self.layer3 = nn.Sequential(Bottleneck(w * 8, w * 4, w * 16, 2))
+            self.layer4 = nn.Sequential(Bottleneck(w * 16, w * 8, w * 32, 2))
+
+        def forward(self, x):
+            h = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+            return self.layer4(self.layer3(self.layer2(self.layer1(h))))
+
+    torch.manual_seed(53)
+    net = MiniResNet().eval()
+    with torch.no_grad():
+        for m in net.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.7, 1.3)
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    xr = torch.rand(1, 3, 64, 64)
+    with torch.no_grad():
+        outr = net((xr - mean) / std)
+    torch.save(net.state_dict(), os.path.join(CACHE, "resnet_mini.pth"))
+    np.savez_compressed(os.path.join(CACHE, "resnet_mini_io.npz"),
+                        x=xr.numpy(), out=outr.numpy())
+
+
 def _make_seg_goldens():
     import torch
 
