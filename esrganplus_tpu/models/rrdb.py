@@ -33,6 +33,7 @@ from esrganplus_tpu.models.layers import (
     conv2d,
     gaussian_noise,
     kaiming_conv_init,
+    pixel_shuffle,
     upsample_nearest,
 )
 
@@ -159,45 +160,48 @@ def _rdb_forward_fused(x, p: Params, cfg: RRDBNetConfig, key, train: bool, dtype
     nf, gc = cfg.nf, cfg.gc
     a = lambda t: act(t, cfg.act_type, cfg.act_slope)
 
-    # Per-source output layout: [t5 (nf) | t_next (gc) | later ts…(gc each) | 1×1].
-    # t5 first keeps the five-way x5 accumulation on offset-0, 128-aligned lane
-    # slices — the profiler showed misaligned 64-wide slice-adds (lane rotates of
-    # 33 MB tensors) dominating the elementwise time.
-    def src_w(lo, width, names):
+    # Per-source output layout, DESCENDING targets: [t5 (nf) | t4 | t3 | … | 1×1].
+    # Two properties matter for the TPU: (a) the heavy five-way x5 accumulation
+    # reads offset-0, 128-aligned slices everywhere; (b) target t_i sits at the
+    # SAME lane offset nf+(4-i)·gc in every source's output, so the assembly
+    # adds combine equal-offset tiles — no per-operand lane rotate (the profiler
+    # showed those rotates costing ~1 ms per RDB). Biases ride along in the
+    # first conv's bias vector (matching its layout); tail convs are bias-free.
+    def off(i):  # lane offset of target t_i (i in 1..4) in any source's output
+        return nf + (4 - i) * gc
+
+    def src_w(lo, width, tail_targets):
         return jnp.concatenate(
             [p["conv5"]["w"][:, :, lo:lo + width, :]]
-            + [p[n]["w"][:, :, lo:lo + width, :] for n in names], axis=-1)
+            + [p[f"conv{t}"]["w"][:, :, lo:lo + width, :] for t in tail_targets],
+            axis=-1)
 
-    parts = [src_w(0, nf, ("conv1", "conv2", "conv3", "conv4"))]
+    parts = [src_w(0, nf, (4, 3, 2, 1))]
     if cfg.conv1x1:
         parts.append(jnp.pad(p["conv1x1"]["w"], ((1, 1), (1, 1), (0, 0), (0, 0))))
     w_x = jnp.concatenate(parts, axis=-1)
+    b_x = jnp.concatenate(
+        [p["conv5"]["b"]] + [p[f"conv{t}"]["b"] for t in (4, 3, 2, 1)]
+        + ([jnp.zeros((gc,), p["conv5"]["b"].dtype)] if cfg.conv1x1 else []))
 
     def tail_w(src_idx):
         lo = nf + (src_idx - 1) * gc
-        names = ("conv2", "conv3", "conv4")[src_idx - 1:]
-        return src_w(lo, gc, names)
+        return src_w(lo, gc, tuple(range(4, src_idx, -1)))
 
-    b = {i: p[f"conv{i}"]["b"] for i in range(1, 6)}
-    if dtype is not None:
-        b = {i: v.astype(dtype) for i, v in b.items()}
-
-    # slice helpers: contribution of source s to target t sits at lane offset
-    # nf (t5 block) + position within the remaining [t_{s+1}, …, t4] run.
-    cx = conv2d(x, {"w": w_x}, dtype=dtype)
-    x1 = a(cx[..., nf:nf + gc] + b[1])
+    cx = conv2d(x, {"w": w_x, "b": b_x}, dtype=dtype)
+    x1 = a(cx[..., off(1):off(1) + gc])
     cx1 = conv2d(x1, {"w": tail_w(1)}, dtype=dtype)
-    x2 = a(cx[..., nf + gc:nf + 2 * gc] + cx1[..., nf:nf + gc] + b[2])
+    x2 = a(cx[..., off(2):off(2) + gc] + cx1[..., off(2):off(2) + gc])
     if cfg.conv1x1:
         x2 = x2 + cx[..., nf + 4 * gc:]
     cx2 = conv2d(x2, {"w": tail_w(2)}, dtype=dtype)
-    x3 = a(cx[..., nf + 2 * gc:nf + 3 * gc] + cx1[..., nf + gc:nf + 2 * gc]
-           + cx2[..., nf:nf + gc] + b[3])
+    x3 = a(cx[..., off(3):off(3) + gc] + cx1[..., off(3):off(3) + gc]
+           + cx2[..., off(3):off(3) + gc])
     cx3 = conv2d(x3, {"w": tail_w(3)}, dtype=dtype)
-    x4 = a(cx[..., nf + 3 * gc:nf + 4 * gc] + cx1[..., nf + 2 * gc:nf + 3 * gc]
-           + cx2[..., nf + gc:nf + 2 * gc] + cx3[..., nf:nf + gc] + b[4]) + x2
+    x4 = a(cx[..., off(4):off(4) + gc] + cx1[..., off(4):off(4) + gc]
+           + cx2[..., off(4):off(4) + gc] + cx3[..., off(4):off(4) + gc]) + x2
     cx4 = conv2d(x4, {"w": tail_w(4)}, dtype=dtype)
-    x5 = (cx[..., :nf] + cx1[..., :nf] + cx2[..., :nf] + cx3[..., :nf] + cx4 + b[5])
+    x5 = cx[..., :nf] + cx1[..., :nf] + cx2[..., :nf] + cx3[..., :nf] + cx4
     out = x5 * cfg.res_scale + x
     if train and cfg.rdb_noise and cfg.noise_sigma > 0:
         out = gaussian_noise(out, key, cfg.noise_sigma, cfg.noise_relative_detach)
@@ -244,10 +248,43 @@ def rrdbnet_forward(params: Params, x: jnp.ndarray, cfg: RRDBNetConfig, *,
 
     factor = 3 if cfg.upscale == 3 else 2
     for up in params["upconvs"]:
-        fea = act(conv2d(upsample_nearest(fea, factor), up, dtype=dtype), cfg.act_type, cfg.act_slope)
+        if cfg.fused:
+            # Exact fold of nearest-×f upsample + 3×3 conv into one LR-resolution
+            # 3×3 conv with f²-phase-packed outputs + pixel shuffle: each HR
+            # output phase reads a fixed LR neighbourhood (nearest-up duplicates
+            # pixels), so the HR taps collapse onto LR taps per phase. Same
+            # FLOPs, but the conv runs at LR with an f²-wide (MXU-friendly)
+            # output and the upsampled intermediate is never materialised.
+            fea = act(pixel_shuffle(
+                conv2d(fea, _fold_upconv(up, factor), dtype=dtype), factor),
+                cfg.act_type, cfg.act_slope)
+        else:
+            fea = act(conv2d(upsample_nearest(fea, factor), up, dtype=dtype),
+                      cfg.act_type, cfg.act_slope)
     fea = act(conv2d(fea, params["hr_conv0"], dtype=dtype), cfg.act_type, cfg.act_slope)
     out = conv2d(fea, params["hr_conv1"], dtype=dtype)
     return out.astype(jnp.float32)
+
+
+def _fold_upconv(p: Params, f: int) -> Params:
+    """Fold a 3×3 HR conv (applied after nearest-×f upsampling) into a 3×3 LR
+    conv with f²·Cout phase-packed outputs (pixel-shuffle channel order)."""
+    w = p["w"]  # [3, 3, cin, cout]
+    cin, cout = w.shape[2], w.shape[3]
+    # phase_map[a, i, r] = 1 where HR tap row r (offset r-1) lands on LR row
+    # offset i-1 for output phase a: floor((a + r - 1) / f) == i - 1.
+    a_idx = jnp.arange(f)[:, None, None]
+    i_idx = jnp.arange(3)[None, :, None]
+    r_idx = jnp.arange(3)[None, None, :]
+    phase_map = (jnp.floor_divide(a_idx + r_idx - 1, f) == i_idx - 1).astype(w.dtype)
+    # folded[a, b, i, j, cin, cout] = Σ_{r,s} map[a,i,r]·map[b,j,s]·w[r,s]
+    folded = jnp.einsum("air,bjs,rsco->ijcoab", phase_map, phase_map, w)
+    # pixel_shuffle expects channel index = cout·f² + a·f + b
+    folded = folded.reshape(3, 3, cin, cout * f * f)
+    out = {"w": folded}
+    if "b" in p:
+        out["b"] = jnp.repeat(p["b"], f * f)
+    return out
 
 
 def count_params(params) -> int:
