@@ -40,11 +40,24 @@ class TrainLoader:
     """
 
     def __init__(self, dataset, batch_size: int, num_workers: int = 4,
-                 seed: int = 0, queue_depth: int = 8):
+                 seed: int = 0, queue_depth: int = 8,
+                 host_index: Optional[int] = None, host_count: Optional[int] = None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.seed = seed
+        # Multi-host SPMD: each host draws a disjoint interleaved batch stream
+        # from the same seeded permutation (jax.process_index/count by default),
+        # so a global step consumes host_count × batch_size distinct samples.
+        if host_index is None:
+            try:
+                import jax
+
+                host_index, host_count = jax.process_index(), jax.process_count()
+            except Exception:
+                host_index, host_count = 0, 1
+        self.host_index = host_index
+        self.host_count = max(1, host_count or 1)
         self._q: queue.Queue = queue.Queue(maxsize=queue_depth)
         self._stop = threading.Event()
         self._threads = []
@@ -56,6 +69,7 @@ class TrainLoader:
         # Repeat the shuffled epoch enough times that at least one full batch
         # exists even when the dataset is smaller than the batch (debug runs).
         reps = max(1, -(-self.batch_size // n))
+        batch_idx = 0
         while True:
             order = []
             for _ in range(reps):
@@ -63,7 +77,9 @@ class TrainLoader:
                 rng.shuffle(ep)
                 order.extend(ep)
             for i in range(0, len(order) - self.batch_size + 1, self.batch_size):
-                yield order[i:i + self.batch_size]
+                if batch_idx % self.host_count == self.host_index:
+                    yield order[i:i + self.batch_size]
+                batch_idx += 1
 
     def _worker(self, batches_q):
         while not self._stop.is_set():
