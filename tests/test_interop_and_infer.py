@@ -1,0 +1,96 @@
+"""Reference-side interop (our exports load upstream strict=True) and
+inference extras (x8 ensemble, tiled SR, back-projection, net interpolation)."""
+
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+import make_goldens
+from esrganplus_tpu.cli.net_interp import interpolate_state_dicts
+from esrganplus_tpu.convert.pth import load_state_dict
+from esrganplus_tpu.infer import SRInferencer, load_generator
+from esrganplus_tpu.models import RRDBNetConfig, init_rrdbnet
+from esrganplus_tpu.ops.back_projection import back_projection
+from esrganplus_tpu.ops.resize import imresize_np
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+
+@pytest.fixture(scope="module")
+def small_inferencer():
+    params, cfg, _ = load_generator(os.path.join(GOLDEN, "rrdb_small_x4.pth"))
+    return SRInferencer(params, cfg)
+
+
+def test_reference_loads_our_exported_checkpoint():
+    """Round-trip through the UPSTREAM code: export → reference RRDB_Net
+    load_state_dict(strict=True) must accept every key."""
+    if not os.path.isdir(make_goldens.REF):
+        pytest.skip("reference unavailable")
+    import torch
+
+    from esrganplus_tpu.convert.pth import generator_to_state_dict, rrdbnet_from_state_dict
+    from esrganplus_tpu.train.checkpoint import _save_pth
+
+    sd = load_state_dict(os.path.join(GOLDEN, "rrdb_small_x4.pth"))
+    params, cfg, _ = rrdbnet_from_state_dict(sd)
+    out_path = os.path.join(make_goldens.CACHE, "export_interop.pth")
+    os.makedirs(make_goldens.CACHE, exist_ok=True)
+    _save_pth(out_path, generator_to_state_dict(params, cfg))
+
+    ref_arch = make_goldens._import_test_image_arch()
+    net = ref_arch.RRDB_Net(3, 3, cfg.nf, cfg.nb, gc=cfg.gc, upscale=cfg.upscale)
+    missing_unexpected = net.load_state_dict(
+        torch.load(out_path, weights_only=True), strict=True)
+    assert not missing_unexpected.missing_keys
+    assert not missing_unexpected.unexpected_keys
+
+
+def test_x8_ensemble_matches_plain_on_symmetric_input(small_inferencer):
+    # dihedral-symmetric input → every variant gives the same result, so the
+    # ensemble must equal the plain forward
+    # f(i, j) = g(min(i, n-1-i), min(j, n-1-j)) with symmetric g is invariant
+    # under every D4 element (both flips and the transpose).
+    n = 9
+    d = np.minimum(np.arange(n), n - 1 - np.arange(n)).astype(np.float32)
+    g = np.add.outer(d, d) + np.multiply.outer(d, d) * 0.1
+    img = np.repeat((g / g.max())[:, :, None], 3, axis=2).astype(np.float32)
+    plain = small_inferencer.upscale(img)
+    ens = small_inferencer.upscale_x8(img)
+    assert np.abs(plain - ens).max() < 1e-4
+
+
+def test_x8_ensemble_shape_nonsquare(small_inferencer):
+    img = np.random.RandomState(1).rand(12, 8, 3).astype(np.float32)
+    out = small_inferencer.upscale_x8(img)
+    assert out.shape == (48, 32, 3)
+
+
+def test_tiled_matches_whole_image(small_inferencer):
+    img = np.random.RandomState(2).rand(40, 40, 3).astype(np.float32)
+    whole = small_inferencer.upscale(img)
+    tiled = small_inferencer.upscale_tiled(img, tile=24, halo=8)
+    # interior parity; seams limited by halo truncation
+    assert np.abs(whole - tiled).mean() < 2e-3
+
+
+def test_back_projection_reduces_consistency_error():
+    rng = np.random.RandomState(3)
+    hr = rng.rand(32, 32, 3).astype(np.float32)
+    lr = imresize_np(hr, 0.25)
+    sr0 = np.clip(hr + rng.randn(32, 32, 3).astype(np.float32) * 0.05, 0, 1)
+    err0 = np.abs(imresize_np(sr0, 0.25) - lr).mean()
+    sr1 = back_projection(sr0, lr, 4, iters=10)
+    err1 = np.abs(imresize_np(sr1, 0.25) - lr).mean()
+    assert err1 < err0 * 0.2
+
+
+def test_net_interp_blend():
+    sd_a = {"k": np.zeros((2, 2), np.float32)}
+    sd_b = {"k": np.ones((2, 2), np.float32), "only_b": np.full((3,), 2.0, np.float32)}
+    out = interpolate_state_dicts(sd_a, sd_b, 0.25)
+    np.testing.assert_allclose(out["k"], 0.25)
+    np.testing.assert_allclose(out["only_b"], 0.5)  # blended against zeros
