@@ -49,18 +49,26 @@ def test_reference_loads_our_exported_checkpoint():
     assert not missing_unexpected.unexpected_keys
 
 
-def test_x8_ensemble_matches_plain_on_symmetric_input(small_inferencer):
-    # dihedral-symmetric input → every variant gives the same result, so the
-    # ensemble must equal the plain forward
-    # f(i, j) = g(min(i, n-1-i), min(j, n-1-j)) with symmetric g is invariant
-    # under every D4 element (both flips and the transpose).
-    n = 9
-    d = np.minimum(np.arange(n), n - 1 - np.arange(n)).astype(np.float32)
-    g = np.add.outer(d, d) + np.multiply.outer(d, d) * 0.1
-    img = np.repeat((g / g.max())[:, :, None], 3, axis=2).astype(np.float32)
-    plain = small_inferencer.upscale(img)
-    ens = small_inferencer.upscale_x8(img)
-    assert np.abs(plain - ens).max() < 1e-4
+def test_x8_ensemble_matches_independent_enumeration(small_inferencer):
+    """upscale_x8 must equal the mean over the dihedral group of
+    T⁻¹(G(T(x))), enumerated independently via rot90/fliplr (not the
+    flip/flip/transpose bit-walk the implementation uses)."""
+    img = np.random.RandomState(0).rand(9, 7, 3).astype(np.float32)
+    outs = []
+    for r in range(4):
+        for f in (False, True):
+            t = np.rot90(img, r, axes=(0, 1))
+            if f:
+                t = t[:, ::-1, :]
+            y = small_inferencer.upscale(np.ascontiguousarray(t))
+            if f:
+                y = y[:, ::-1, :]
+            y = np.rot90(y, -r, axes=(0, 1))
+            outs.append(y)
+    want = np.mean(outs, axis=0)
+    got = small_inferencer.upscale_x8(img)
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 1e-5
 
 
 def test_x8_ensemble_shape_nonsquare(small_inferencer):
