@@ -32,11 +32,29 @@ def transfer(src: dict, dst: dict):
     return out, copied, kept
 
 
+# SRGAN (16-block SRResNet, pixel-shuffle ×4) keys → SFT_Net keys, the seed
+# mapping of reference ``codes/scripts/transfer_params_sft.py:17-39``.
+def srgan_to_sft_map(nb: int = 16):
+    m = {"conv0": "model.0"}
+    for i in range(nb):
+        m[f"sft_branch.{i}.conv0"] = f"model.1.sub.{i}.res.0"
+        m[f"sft_branch.{i}.conv1"] = f"model.1.sub.{i}.res.2"
+    m[f"sft_branch.{nb + 1}"] = f"model.1.sub.{nb}"
+    m["HR_branch.0"] = "model.2"
+    m["HR_branch.3"] = "model.5"
+    m["HR_branch.6"] = "model.8"
+    m["HR_branch.8"] = "model.10"
+    return m
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("src", help="source checkpoint (.pth) to transfer from")
     ap.add_argument("template", help="template checkpoint (.pth) defining the target layout")
     ap.add_argument("out", help="output .pth")
+    ap.add_argument("--sft", action="store_true",
+                    help="seed an SFT_Net template from SRGAN/SRResNet weights "
+                         "(reference transfer_params_sft.py key mapping)")
     args = ap.parse_args(argv)
 
     import torch
@@ -45,6 +63,14 @@ def main(argv=None):
 
     src = load_state_dict(args.src)
     dst = load_state_dict(args.template)
+    if args.sft:
+        remap = srgan_to_sft_map()
+        renamed = {}
+        for dst_prefix, src_prefix in remap.items():
+            for suffix in (".weight", ".bias"):
+                if src_prefix + suffix in src:
+                    renamed[dst_prefix + suffix] = src[src_prefix + suffix]
+        src = renamed
     out, copied, kept = transfer(src, dst)
     torch.save({k: torch.from_numpy(np.array(v, copy=True)) for k, v in out.items()}, args.out)
     print(f"copied {len(copied)} keys from source; kept {len(kept)} template keys")

@@ -126,6 +126,14 @@ class TrainLoader:
 
     def stop(self):
         self._stop.set()
+        # drain so workers blocked on a full queue can observe the stop flag
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        for t in self._threads:
+            t.join(timeout=1.0)
 
 
 class EvalLoader:

@@ -80,9 +80,15 @@ def conv2d(x: jnp.ndarray, p: Params, stride: int = 1, dilation: int = 1,
     decomposes fp32 into bf16 passes, which breaks ≤1e-3 checkpoint parity.
     """
     w = p["w"]
+    preferred = jnp.float32
     if dtype is not None:
         x = x.astype(dtype)
         w = w.astype(dtype)
+        # Let the conv emit `dtype` directly: the MXU accumulates in fp32
+        # internally either way, and a f32 preferred_element_type breaks the
+        # conv's transpose (backward) rule under mixed dtypes in this JAX
+        # version.
+        preferred = None
     elif precision is None:
         precision = jax.lax.Precision.HIGHEST
     if pad == "same":
@@ -102,11 +108,11 @@ def conv2d(x: jnp.ndarray, p: Params, stride: int = 1, dilation: int = 1,
         rhs_dilation=(dilation, dilation),
         dimension_numbers=dn,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=preferred,
         precision=precision,
     )
     if "b" in p:
-        out = out + p["b"].astype(jnp.float32)
+        out = out + p["b"].astype(out.dtype)
     return out if dtype is None else out.astype(dtype)
 
 

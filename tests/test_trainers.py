@@ -95,3 +95,19 @@ def test_gan_trainer_wgan_gp_runs():
     batch = _batch(mesh, n=8, size=32)
     state, logs = trainer.train_step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(logs["l_d_total"]))
+
+
+def test_sr_trainer_bf16_compute():
+    # regression: bf16 compute path must be differentiable (the conv transpose
+    # rule rejects mixed bf16/f32 when preferred_element_type is forced)
+    mesh = make_mesh()
+    trainer = SRTrainer(NET, SRTrainConfig(lr=1e-3, milestones=(100,),
+                                           compute_dtype="bfloat16"), mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = _batch(mesh)
+    losses = []
+    for i in range(6):
+        state, logs = trainer.train_step(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(logs["l_pix"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
