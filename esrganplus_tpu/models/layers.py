@@ -189,3 +189,16 @@ def gaussian_noise(x: jnp.ndarray, key, sigma: float, relative_detach: bool = Fa
     train flag. With ``relative_detach`` the scale is cut out of the gradient."""
     scale = sigma * (jax.lax.stop_gradient(x) if relative_detach else x)
     return x + jax.random.normal(key, x.shape, x.dtype) * scale
+
+
+def orthogonal_conv_init(key, kh: int, kw: int, cin: int, cout: int, gain: float = 1.0,
+                         bias: bool = True, dtype=jnp.float32) -> Params:
+    """Orthogonal conv init (reference ``networks.py:47-59`` variant): the
+    [cout, kh·kw·cin] matrix is orthogonalised, zero bias."""
+    flat = jax.nn.initializers.orthogonal(scale=gain, column_axis=0)(
+        key, (cout, kh * kw * cin), dtype)
+    w = jnp.transpose(flat.reshape(cout, kh, kw, cin), (1, 2, 3, 0))
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((cout,), dtype)
+    return p

@@ -186,6 +186,7 @@ def build_train_config(opt):
 
         return SRTrainConfig(
             lr=t.get("lr_G", 2e-4),
+            weight_decay=t.get("weight_decay_G", 0) or 0,
             beta1=t.get("beta1_G", 0.9),
             milestones=tuple(t.get("lr_steps", (200_000, 400_000, 600_000, 800_000))),
             lr_gamma=t.get("lr_gamma", 0.5),

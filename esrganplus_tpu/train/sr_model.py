@@ -33,6 +33,7 @@ class SRTrainConfig:
     lr_gamma: float = 0.5
     pixel_criterion: str = "l1"  # 'l1' | 'l2'
     pixel_weight: float = 1.0
+    weight_decay: float = 0.0
     grad_clip: Optional[float] = None
     compute_dtype: Optional[str] = None  # None (fp32) | 'bfloat16'
     init_scale: float = 0.1
@@ -49,8 +50,14 @@ def pixel_loss(pred, target, criterion: str):
 def make_optimizer(cfg: SRTrainConfig):
     sched = multistep_lr(cfg.lr, cfg.milestones, cfg.lr_gamma)
     tx = optax.adam(learning_rate=sched, b1=cfg.beta1, b2=cfg.beta2)
+    parts = []
+    if cfg.weight_decay:
+        # torch Adam weight_decay = L2 added to the gradient before the update
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
     if cfg.grad_clip:
-        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip))
+    if parts:
+        tx = optax.chain(*parts, tx)
     return tx, sched
 
 
