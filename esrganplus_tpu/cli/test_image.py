@@ -23,6 +23,9 @@ def main(argv=None):
     ap.add_argument("--suffix", default="_rlt")
     ap.add_argument("--pad-multiple", type=int, default=None,
                     help="pad inputs to a multiple to limit recompiles (inexact borders)")
+    ap.add_argument("--noise-seed", type=int, default=None,
+                    help="activate noise sites with this deterministic seed "
+                         "(nESRGAN+/Tarsier-style stochastic generation)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -35,7 +38,13 @@ def main(argv=None):
         print(f"note: checkpoint lacks conv1x1 weights for "
               f"{len(info['missing_conv1x1_blocks'])} RDBs (vanilla-ESRGAN ckpt); using zeros")
     dtype = jnp.bfloat16 if args.dtype == "bf16" else None
-    inf = SRInferencer(params, cfg, dtype=dtype, pad_multiple=args.pad_multiple)
+    noise_rng = None
+    if args.noise_seed is not None:
+        import jax
+
+        noise_rng = jax.random.PRNGKey(args.noise_seed)
+    inf = SRInferencer(params, cfg, dtype=dtype, pad_multiple=args.pad_multiple,
+                       noise_rng=noise_rng)
     print(f"model: nb={cfg.nb} nf={cfg.nf} gc={cfg.gc} x{cfg.upscale} "
           f"conv1x1={cfg.conv1x1} dtype={args.dtype}")
 

@@ -38,14 +38,23 @@ class SRInferencer:
     ``dtype=None`` is the fp32 parity path; ``jnp.bfloat16`` the throughput path.
     """
 
-    def __init__(self, params, cfg: RRDBNetConfig, dtype=None, pad_multiple: Optional[int] = None):
+    def __init__(self, params, cfg: RRDBNetConfig, dtype=None, pad_multiple: Optional[int] = None,
+                 noise_rng: Optional[jax.Array] = None):
+        """``noise_rng`` activates the nESRGAN+/Tarsier noise sites at inference
+        with a DETERMINISTIC key (the Tarsier workflow evolves/selects such noise
+        realisations per image; reference README.md:6, arXiv:2009.12177). None =
+        standard deterministic inference."""
         self.params = params
         self.cfg = cfg
         self.dtype = dtype
         self.pad_multiple = pad_multiple
-        self._fwd = jax.jit(
-            functools.partial(generator_forward, cfg=cfg, train=False, dtype=dtype)
-        )
+        if noise_rng is not None:
+            self._fwd = jax.jit(functools.partial(
+                generator_forward, cfg=cfg, train=True, rng=noise_rng, dtype=dtype))
+        else:
+            self._fwd = jax.jit(
+                functools.partial(generator_forward, cfg=cfg, train=False, dtype=dtype)
+            )
 
     def upscale(self, img_rgb: np.ndarray) -> np.ndarray:
         """HWC (or NHWC) RGB [0,1] float → upscaled float32 RGB, clipped to [0,1]."""
