@@ -277,8 +277,12 @@ def _fold_upconv(p: Params, f: int) -> Params:
     i_idx = jnp.arange(3)[None, :, None]
     r_idx = jnp.arange(3)[None, None, :]
     phase_map = (jnp.floor_divide(a_idx + r_idx - 1, f) == i_idx - 1).astype(w.dtype)
-    # folded[a, b, i, j, cin, cout] = Σ_{r,s} map[a,i,r]·map[b,j,s]·w[r,s]
-    folded = jnp.einsum("air,bjs,rsco->ijcoab", phase_map, phase_map, w)
+    # folded[a, b, i, j, cin, cout] = Σ_{r,s} map[a,i,r]·map[b,j,s]·w[r,s].
+    # HIGHEST precision: the TPU default computes fp32 einsums in bf16 passes,
+    # which perturbs the folded weights enough to cost ~3 uint8 LSB of output
+    # parity (measured).
+    folded = jnp.einsum("air,bjs,rsco->ijcoab", phase_map, phase_map, w,
+                        precision=jax.lax.Precision.HIGHEST)
     # pixel_shuffle expects channel index = cout·f² + a·f + b
     folded = folded.reshape(3, 3, cin, cout * f * f)
     out = {"w": folded}
