@@ -100,7 +100,7 @@ def cmd_lmdb(args):
         img = cv2.imread(p, cv2.IMREAD_UNCHANGED)
         imgs.append((os.path.basename(p), img))
         total += img.nbytes
-    env = lmdb.open(args.out, map_size=total * 2 + 1 << 24)
+    env = lmdb.open(args.out, map_size=total * 2 + (1 << 24))
     bar = ProgressBar(len(imgs))
     with env.begin(write=True) as txn:
         for key, img in imgs:

@@ -81,8 +81,8 @@ def main(argv=None):
                 sr_f = sr_img.astype(np.float64) / 255.0
                 gt_f = gt_img.astype(np.float64) / 255.0
                 c = scale
-                sr_c = sr_f[c:-c, c:-c, :]
-                gt_c = gt_f[c:-c, c:-c, :]
+                sr_c = sr_f[c:-c, c:-c, ...]
+                gt_c = gt_f[c:-c, c:-c, ...]
                 psnr = calculate_psnr(sr_c * 255, gt_c * 255)
                 ssim = calculate_ssim(sr_c * 255, gt_c * 255)
                 metrics["psnr"].append(psnr)

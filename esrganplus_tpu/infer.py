@@ -152,8 +152,8 @@ class SRInferencer:
             stack = np.stack([img_rgb[y0c:y0c + tile, x0c:x0c + tile, :]
                               for (y0c, x0c, _, _) in chunk])
             if len(chunk) < tile_batch:  # pad to the compiled batch shape
-                stack = np.concatenate(
-                    [stack, np.zeros((tile_batch - len(chunk), tile, tile, c), stack.dtype)])
+                pad = np.zeros((tile_batch - len(chunk),) + stack.shape[1:], stack.dtype)
+                stack = np.concatenate([stack, pad])
             srs = self.upscale(stack)
             for job, sr in zip(chunk, srs):
                 paste(job, sr)

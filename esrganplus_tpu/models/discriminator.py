@@ -102,14 +102,16 @@ def _sn_weight(p: Params, n_iters: int):
     w = p["w"]
     out_dim = w.shape[-1]
     w2d = w.reshape(-1, out_dim).T  # [out, in*]
+    # torch computes the power iteration under no_grad: only the direct
+    # u^T W v term carries gradient, so u and v must be stop_gradient'd.
+    w2d_ng = jax.lax.stop_gradient(w2d)
     u = p["u"]
     for _ in range(n_iters):
-        v = w2d.T @ u
+        v = w2d_ng.T @ u
         v = v / (jnp.linalg.norm(v) + 1e-12)
-        u = w2d @ v
+        u = w2d_ng @ v
         u = u / (jnp.linalg.norm(u) + 1e-12)
     sigma = u @ (w2d @ v)
-    u = jax.lax.stop_gradient(u)
     return w / sigma, u
 
 
@@ -190,4 +192,36 @@ def apply_state_updates(params: Params, new_state: Params, cfg: DiscriminatorVGG
         out["convs"] = convs
         out["fc0"] = {**params["fc0"], "u": new_state["u"]["fc0"]}
         out["fc1"] = {**params["fc1"], "u": new_state["u"]["fc1"]}
+    return out
+
+
+def merge_sequential_bn(params: Params, st_first: Params, st_second: Params,
+                        cfg: DiscriminatorVGGConfig, momentum: float = 0.9) -> Params:
+    """Fold two train-forward BN updates as if applied sequentially.
+
+    Torch updates running stats on every forward: after D(real) then D(fake),
+    new = m·(m·old + (1−m)·real) + (1−m)·fake. Both our updates were computed
+    against the SAME old stats (u_i = m·old + (1−m)·batch_i), so the sequential
+    result is m·u1 + (u2 − m·old)."""
+    if not (cfg.use_bn and "bn" in st_first and "bn" in st_second):
+        return apply_state_updates(params, st_second, cfg)
+    out = dict(params)
+    bns = []
+    for old, u1, u2 in zip(params["bn"], st_first["bn"], st_second["bn"]):
+        entry = {}
+        for side in ("a", "b"):
+            if old[side] is None:
+                entry[side] = None
+            elif side in u1 and side in u2:
+                merged = {
+                    k: momentum * u1[side][k] + (u2[side][k] - momentum * old[side][k])
+                    for k in ("mean", "var")
+                }
+                entry[side] = {**old[side], **merged}
+            else:
+                entry[side] = old[side]
+        bns.append(entry)
+    out["bn"] = bns
+    if cfg.spectral_norm and "u" in st_second:
+        out = apply_state_updates(out, {"u": st_second["u"]}, cfg)
     return out

@@ -25,7 +25,7 @@ _PLAN: List[tuple] = (
     + [("res", 128, 64, 256, 1, 1)] + [("res", 256, 64, 256, 1, 1)] * 2
     + [("res", 256, 128, 512, 1, 2)] + [("res", 512, 128, 512, 1, 1)] * 3
     + [("res", 512, 256, 1024, 2, 1)] + [("res", 1024, 256, 1024, 2, 1)] * 22
-    + [("res", 1024, 512, 2048, 4, 1)] * 3
+    + [("res", 1024, 512, 2048, 4, 1)] + [("res", 2048, 512, 2048, 4, 1)] * 2
     + [("conv", 2048, 512, 3, 1)]
 )
 

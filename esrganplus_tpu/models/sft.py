@@ -298,3 +298,17 @@ def sftnet_to_state_dict(params: Params, cfg: SFTNetConfig = SFTNetConfig()) -> 
     for i in range(5):
         put(f"CondNet.{2 * i}", params["cond"][f"c{i}"])
     return sd
+
+
+def acd_merge_sequential(params: Params, upd_first, upd_second,
+                         momentum: float = 0.9) -> Params:
+    """Sequential fold of two ACD BN update lists (see
+    discriminator.merge_sequential_bn for the derivation)."""
+    out = dict(params)
+    out["bn"] = [
+        ({k: (momentum * u1[k] + (u2[k] - momentum * bn[k])) for k in ("mean", "var")}
+         | {k: bn[k] for k in ("scale", "bias")})
+        if (bn is not None and u1 is not None and u2 is not None) else bn
+        for bn, u1, u2 in zip(params["bn"], upd_first, upd_second)
+    ]
+    return out

@@ -40,8 +40,10 @@ def wrap_nonedict(obj):
 
 
 def _strip_comments(text: str) -> str:
-    # Remove // comments (the reference's option files annotate inline).
-    return re.sub(r"//[^\n\"]*", "", text)
+    # Remove // comments with the reference's exact semantics
+    # (``options.py:10-14``: everything from the first '//' on a line is
+    # dropped, quotes notwithstanding).
+    return "\n".join(line.split("//")[0] for line in text.splitlines())
 
 
 def parse(opt_path: str, is_train: bool = True) -> OptionDict:

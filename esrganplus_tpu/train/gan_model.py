@@ -14,9 +14,10 @@ Functional rebuild of the reference wrappers (``codes/models/SRGAN_model.py``,
     params only (no ``requires_grad`` bookkeeping needed in a functional core).
 
 Deviation (documented): torch updates D's BatchNorm *running* stats during every
-forward, including the G-step ones. We fold in updates from the D-step forwards
-only. Training math is identical (train-mode BN uses batch stats); only the
-running stats — unused during training — advance on a slightly different schedule.
+forward, including the G-step ones. We fold in the two D-step forwards (real
+then fake, sequentially merged) but not the G-step ones. Training math is
+identical (train-mode BN uses batch stats); only the running stats — unused
+during training — advance on a slightly different schedule.
 """
 
 from __future__ import annotations
@@ -35,6 +36,7 @@ from esrganplus_tpu.models.discriminator import (
     apply_state_updates,
     discriminator_forward,
     init_discriminator,
+    merge_sequential_bn,
 )
 from esrganplus_tpu.models import generator_forward, generator_init
 from esrganplus_tpu.models.rrdb import RRDBNetConfig
@@ -175,7 +177,7 @@ class GANTrainer:
                 return self._d_logits(p, x)[0]
             loss = loss + cfg.gp_weight * gradient_penalty(d_apply, d_params, hr_img, fake, rng)
         logs = {"l_d_total": loss, "D_real": jnp.mean(d_real), "D_fake": jnp.mean(d_fake)}
-        return loss, (st_fake, logs)
+        return loss, ((st_real, st_fake), logs)
 
     # -- step --------------------------------------------------------------
 
@@ -216,11 +218,12 @@ class GANTrainer:
 
         # ---- D update (every step; fake detached) ----
         fake_detached = jax.lax.stop_gradient(fake)
-        (d_total, (d_state, d_logs)), d_grads = jax.value_and_grad(
+        (d_total, ((st_real, st_fake), d_logs)), d_grads = jax.value_and_grad(
             self._d_loss, has_aux=True)(state["d_params"], fake_detached, hr_img, rng_gp)
         d_updates, new_d_opt = self.tx_d.update(d_grads, state["d_opt"], state["d_params"])
         new_d_params = optax.apply_updates(state["d_params"], d_updates)
-        new_d_params = apply_state_updates(new_d_params, d_state, self.net_d)
+        # torch updates BN running stats on BOTH D-step forwards (real then fake)
+        new_d_params = merge_sequential_bn(new_d_params, st_real, st_fake, self.net_d)
 
         logs = {**g_logs, **d_logs, "lr": self.lr_schedule(state["step"])}
         new_state = {

@@ -22,6 +22,7 @@ from esrganplus_tpu.models.sft import (
     SFTNetConfig,
     acd_apply_updates,
     acd_forward,
+    acd_merge_sequential,
     init_acd,
     init_sftnet,
     sftnet_forward,
@@ -149,12 +150,12 @@ class SFTGANTrainer:
 
     def _d_loss(self, d_params, fake, hr_img, cat):
         cfg = self.cfg
-        gan_r, cls_r, upd = acd_forward(d_params, hr_img, train=True, dtype=self._dtype)
-        gan_f, cls_f, _ = acd_forward(d_params, fake, train=True, dtype=self._dtype)
+        gan_r, cls_r, upd_r = acd_forward(d_params, hr_img, train=True, dtype=self._dtype)
+        gan_f, cls_f, upd_f = acd_forward(d_params, fake, train=True, dtype=self._dtype)
         loss = (gan_loss(gan_r, True, cfg.gan_type) + masked_cross_entropy(cls_r, cat)
                 + gan_loss(gan_f, False, cfg.gan_type) + masked_cross_entropy(cls_f, cat))
         logs = {"l_d_total": loss, "D_real": jnp.mean(gan_r), "D_fake": jnp.mean(gan_f)}
-        return loss, (upd, logs)
+        return loss, ((upd_r, upd_f), logs)
 
     def _step(self, state, batch, rng):
         cfg = self.cfg
@@ -165,7 +166,9 @@ class SFTGANTrainer:
             state["g_params"], state["d_params"], f_params, lr_img, seg, hr_img, cat)
         updates, new_g_opt = self.tx_g.update(grads, state["g_opt"], state["g_params"])
 
-        # gate: SFT params follow D_update_ratio/D_init; 'other' waits for 20k
+        # gate: SFT params follow D_update_ratio/D_init; 'other' waits for 20k.
+        # The reference skips optimizer.step() entirely outside the gate, so
+        # BOTH the params and the per-group Adam moments must stay frozen.
         do_sft = jnp.logical_and(state["step"] % cfg.d_update_ratio == 0,
                                  state["step"] > cfg.d_init_iters)
         do_other = state["step"] > cfg.other_start_iter
@@ -174,13 +177,20 @@ class SFTGANTrainer:
             lambda u, lab: jnp.where(do_sft if lab == "sft" else do_other, u, 0.0),
             updates, labels)
         new_g_params = optax.apply_updates(state["g_params"], gated)
+        inner_new = dict(new_g_opt.inner_states)
+        inner_old = state["g_opt"].inner_states
+        inner_new["sft"] = jax.tree.map(
+            lambda n, o: jnp.where(do_sft, n, o), inner_new["sft"], inner_old["sft"])
+        inner_new["other"] = jax.tree.map(
+            lambda n, o: jnp.where(do_other, n, o), inner_new["other"], inner_old["other"])
+        new_g_opt = new_g_opt._replace(inner_states=inner_new)
 
         fake_detached = jax.lax.stop_gradient(fake)
-        (d_total, (d_upd, d_logs)), d_grads = jax.value_and_grad(self._d_loss, has_aux=True)(
+        (d_total, ((upd_r, upd_f), d_logs)), d_grads = jax.value_and_grad(self._d_loss, has_aux=True)(
             state["d_params"], fake_detached, hr_img, cat)
         d_updates, new_d_opt = self.tx_d.update(d_grads, state["d_opt"], state["d_params"])
         new_d_params = optax.apply_updates(state["d_params"], d_updates)
-        new_d_params = acd_apply_updates(new_d_params, d_upd)
+        new_d_params = acd_merge_sequential(new_d_params, upd_r, upd_f)
 
         logs = {**g_logs, **d_logs, "lr": self.lr_schedule(state["step"])}
         new_state = {**state, "g_params": new_g_params, "d_params": new_d_params,

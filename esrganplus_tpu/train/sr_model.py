@@ -111,6 +111,8 @@ class SRTrainer:
 
     def _step(self, state, batch, rng):
         lr_img, hr_img = batch
+        # fresh noise every optimizer step even when the caller reuses one key
+        rng = jax.random.fold_in(rng, state["step"])
         (loss, _), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
             state["params"], lr_img, hr_img, rng)
         updates, new_opt = self.tx.update(grads, state["opt_state"], state["params"])

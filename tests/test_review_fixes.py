@@ -1,0 +1,85 @@
+"""Regression tests for the code-review findings."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esrganplus_tpu.models import RRDBNetConfig
+from esrganplus_tpu.models.seg import SegConfig, init_seg, seg_forward
+from esrganplus_tpu.options.options import _strip_comments
+from esrganplus_tpu.parallel import make_mesh, shard_batch
+from esrganplus_tpu.train import SRTrainConfig, SRTrainer
+
+
+def test_sr_noise_varies_per_step():
+    # the CLI passes one PRNGKey for the whole run; the step fold must still
+    # give fresh noise every iteration (same batch + same key → different loss)
+    mesh = make_mesh()
+    net = RRDBNetConfig(nf=8, nb=1, gc=4, upscale=4, noise_sigma=0.5)
+    trainer = SRTrainer(net, SRTrainConfig(lr=0.0, milestones=(10,)), mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = shard_batch(mesh, (jnp.full((8, 8, 8, 3), 0.5), jnp.full((8, 32, 32, 3), 0.5)))
+    rng = jax.random.PRNGKey(42)
+    state, l1 = trainer.train_step(state, batch, rng)
+    state, l2 = trainer.train_step(state, batch, rng)
+    # lr=0 → params identical; only the noise realisation differs
+    assert float(l1["l_pix"]) != float(l2["l_pix"])
+
+
+def test_seg_random_init_forward():
+    # the conv5-stage plan previously declared 1024-in for all three blocks
+    params = init_seg(jax.random.PRNGKey(0))
+    out = seg_forward(params, jnp.zeros((1, 32, 32, 3)))
+    assert out.shape == (1, 32, 32, 8)
+
+
+def test_comment_stripping_reference_semantics():
+    # reference drops everything after '//' on a line, quotes notwithstanding
+    text = '{"a": 1, // comment with "quotes"\n"b": 2}'
+    import json
+
+    assert json.loads(_strip_comments(text)) == {"a": 1, "b": 2}
+
+
+def test_sn_power_iteration_carries_no_gradient():
+    from esrganplus_tpu.models.discriminator import _sn_weight
+
+    w = jax.random.normal(jax.random.PRNGKey(0), (3, 3, 4, 8))
+    u = jax.random.normal(jax.random.PRNGKey(1), (8,))
+
+    def sigma_of(w):
+        w_bar, _ = _sn_weight({"w": w, "u": u}, 1)
+        return jnp.sum(w_bar)
+
+    g = jax.grad(sigma_of)(w)
+    # torch semantics: d(w/sigma)/dw = 1/sigma - w·(u vᵀ)/sigma²  with u, v
+    # constant. Verify against that closed form.
+    w2d = w.reshape(-1, 8).T
+    v = w2d.T @ u
+    v = v / jnp.linalg.norm(v)
+    u2 = w2d @ v
+    u2 = u2 / jnp.linalg.norm(u2)
+    sigma = u2 @ (w2d @ v)
+    # closed-form grad of sum(w/sigma): 1/sigma - (sum(w)/sigma^2) * d sigma/dw
+    dsigma = jnp.outer(u2, v).T.reshape(w.shape)  # d(uᵀWv)/dW in HWIO layout
+    want = 1.0 / sigma - (jnp.sum(w) / sigma ** 2) * dsigma
+    np.testing.assert_allclose(np.asarray(g), np.asarray(want), rtol=1e-4, atol=1e-6)
+
+
+def test_sequential_bn_merge_math():
+    from esrganplus_tpu.models.discriminator import DiscriminatorVGGConfig, merge_sequential_bn
+
+    cfg = DiscriminatorVGGConfig(input_size=128, base_nf=8)
+    m = 0.9
+    old = np.asarray([1.0, 2.0])
+    real_b, fake_b = np.asarray([3.0, 1.0]), np.asarray([0.5, 4.0])
+    u1 = m * old + (1 - m) * real_b
+    u2 = m * old + (1 - m) * fake_b
+    params = {"bn": [{"a": None,
+                      "b": {"mean": jnp.asarray(old), "var": jnp.asarray(old),
+                            "scale": jnp.ones(2), "bias": jnp.zeros(2)}}]}
+    st1 = {"bn": [{"b": {"mean": jnp.asarray(u1), "var": jnp.asarray(u1)}}]}
+    st2 = {"bn": [{"b": {"mean": jnp.asarray(u2), "var": jnp.asarray(u2)}}]}
+    out = merge_sequential_bn(params, st1, st2, cfg, momentum=m)
+    want = m * (m * old + (1 - m) * real_b) + (1 - m) * fake_b
+    np.testing.assert_allclose(np.asarray(out["bn"][0]["b"]["mean"]), want, rtol=1e-6)
