@@ -309,3 +309,28 @@ def generator_to_state_dict(params: dict, cfg) -> Dict[str, np.ndarray]:
     if isinstance(cfg, SRResNetConfig):
         return srresnet_to_state_dict(params, cfg)
     return rrdbnet_to_state_dict(params, cfg)
+
+
+def discriminator_sn_from_state_dict(sd: Dict[str, np.ndarray], cfg, dtype=jnp.float32) -> dict:
+    """Convert the spectral-norm discriminator (``Discriminator_VGG_128_SN``,
+    architecture.py:133-175; vendored SN state: ``weight_orig`` + ``weight_u``).
+
+    The power-iteration u imports directly: our weight matricisation permutes
+    the contraction columns relative to torch's (hwi vs ihw order), which leaves
+    u, sigma and the normalised weight invariant."""
+    def conv(i):
+        return {
+            "w": jnp.asarray(_oihw_to_hwio(sd[f"conv{i}.weight_orig"]), dtype),
+            "b": jnp.asarray(sd[f"conv{i}.bias"], dtype),
+            "u": jnp.asarray(sd[f"conv{i}.weight_u"], dtype),
+        }
+
+    convs = [{"a": conv(2 * i), "b": conv(2 * i + 1)} for i in range(cfg.n_stages)]
+    params = {"convs": convs}
+    for ours, theirs in (("fc0", "linear0"), ("fc1", "linear1")):
+        params[ours] = {
+            "w": jnp.asarray(sd[f"{theirs}.weight_orig"].T, dtype),
+            "b": jnp.asarray(sd[f"{theirs}.bias"], dtype),
+            "u": jnp.asarray(sd[f"{theirs}.weight_u"], dtype),
+        }
+    return params

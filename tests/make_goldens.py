@@ -439,3 +439,31 @@ def _make_rrdb_goldens():
 
 if __name__ == "__main__":
     main()
+
+
+def ensure_sn_goldens() -> bool:
+    if os.path.exists(os.path.join(CACHE, "d_sn_io.npz")):
+        return True
+    if not os.path.isdir(REF):
+        return False
+    _make_sn_goldens()
+    return True
+
+
+def _make_sn_goldens():
+    import torch
+
+    _import_reference_modules()
+    sys.path.insert(0, os.path.join(REF, "codes"))
+    import models.modules.architecture as codes_arch
+
+    os.makedirs(CACHE, exist_ok=True)
+    torch.manual_seed(61)
+    net = codes_arch.Discriminator_VGG_128_SN()
+    x = torch.rand(2, 3, 128, 128)
+    net.train()
+    with torch.no_grad():
+        # save BEFORE the forward: the SN hook mutates weight_u in place
+        torch.save(net.state_dict(), os.path.join(CACHE, "d_sn.pth"))
+        y = net(x)
+    np.savez_compressed(os.path.join(CACHE, "d_sn_io.npz"), x=x.numpy(), y=y.numpy())

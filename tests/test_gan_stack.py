@@ -145,3 +145,19 @@ def test_gradient_penalty_zero_for_linear_critic():
     gp = float(gradient_penalty(d_apply, {}, real, fake, jax.random.PRNGKey(0)))
     want = (np.sqrt(4 * 4 * 3) - 1.0) ** 2
     assert abs(gp - want) < 1e-4
+
+
+def test_discriminator_sn_parity():
+    """Exact parity with the reference SN discriminator: import weight_orig +
+    weight_u, run one power iteration like the vendored forward-pre-hook."""
+    if not make_goldens.ensure_sn_goldens():
+        pytest.skip("reference unavailable")
+    from esrganplus_tpu.convert.pth import discriminator_sn_from_state_dict
+
+    cfg = DiscriminatorVGGConfig(input_size=128, base_nf=64, norm_type=None,
+                                 spectral_norm=True)
+    sd = load_state_dict(os.path.join(CACHE, "d_sn.pth"))
+    params = discriminator_sn_from_state_dict(sd, cfg)
+    io = np.load(os.path.join(CACHE, "d_sn_io.npz"))
+    logits, _ = discriminator_forward(params, jnp.asarray(_nchw(io["x"])), cfg, train=True)
+    np.testing.assert_allclose(np.asarray(logits), io["y"], atol=1e-6)
