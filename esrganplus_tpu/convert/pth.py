@@ -311,6 +311,40 @@ def generator_to_state_dict(params: dict, cfg) -> Dict[str, np.ndarray]:
     return rrdbnet_to_state_dict(params, cfg)
 
 
+def discriminator_sn_to_state_dict(params: dict, cfg) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`discriminator_sn_from_state_dict`: the reference SN
+    layout ``conv{0..2n-1}.{weight_orig,weight,weight_u,bias}`` +
+    ``linear{0,1}.*`` (architecture.py:133-175). ``weight`` is the
+    sigma-normalised buffer torch's vendored SN registers alongside the
+    parameter (spectral_norm.py:66-74), computed from the stored ``u`` exactly
+    as a forward pass leaves it, so reference tools can load strict=True."""
+
+    def put(sd, name, w_store, w2d, b, u):
+        u = np.asarray(u, np.float32)
+        v = w2d.T @ u
+        v = v / (np.linalg.norm(v) + 1e-12)
+        sigma = float(u @ (w2d @ v))
+        sd[f"{name}.weight_orig"] = w_store
+        sd[f"{name}.weight"] = w_store / sigma
+        sd[f"{name}.weight_u"] = u
+        sd[f"{name}.bias"] = np.asarray(b, np.float32)
+
+    sd: Dict[str, np.ndarray] = {}
+    for i in range(cfg.n_stages):
+        for j, side in enumerate(("a", "b")):
+            p = params["convs"][i][side]
+            w = np.asarray(p["w"], np.float32)  # HWIO
+            # sigma is invariant to the contraction-column permutation
+            # (hwi vs torch's ihw) — see the from_state_dict docstring
+            w2d = w.reshape(-1, w.shape[-1]).T
+            put(sd, f"conv{2 * i + j}", _hwio_to_oihw(w), w2d, p["b"], p["u"])
+    for ours, theirs in (("fc0", "linear0"), ("fc1", "linear1")):
+        p = params[ours]
+        wt = np.asarray(p["w"], np.float32).T  # [out, in], torch layout
+        put(sd, theirs, wt, wt, p["b"], p["u"])
+    return sd
+
+
 def discriminator_sn_from_state_dict(sd: Dict[str, np.ndarray], cfg, dtype=jnp.float32) -> dict:
     """Convert the spectral-norm discriminator (``Discriminator_VGG_128_SN``,
     architecture.py:133-175; vendored SN state: ``weight_orig`` + ``weight_u``).

@@ -110,6 +110,13 @@ class LRHRDataset:
     def __len__(self) -> int:
         return len(self.paths_hr)
 
+    def _mod_dim(self, n: int, scale: int) -> int:
+        """Largest scale-multiple ≤ n, clamped up to HR_size (reference _mod)."""
+        rlt = (n // scale) * scale
+        if self.hr_size and rlt < self.hr_size:
+            return self.hr_size
+        return rlt
+
     def _read(self, reader, paths, idx):
         if reader is not None:
             return reader.read(paths[idx])
@@ -127,18 +134,33 @@ class LRHRDataset:
             img_lr = self._read(self._lr_reader, self.paths_lr, idx)
         else:
             if self.phase == "train":
+                # reference `_mod` semantics (LRHR_dataset.py:64-77): bilinear
+                # mod-RESIZE to a scale multiple, clamped up to HR_size
                 h, w, _ = img_hr.shape
-                # rescue images smaller than the crop
-                if self.hr_size and (h < self.hr_size or w < self.hr_size):
+                h_s = self._mod_dim(h, scale)
+                w_s = self._mod_dim(w, scale)
+                if (h_s, w_s) != (h, w):
                     import cv2
 
-                    img_hr = cv2.resize(img_hr, (self.hr_size, self.hr_size),
+                    img_hr = cv2.resize(img_hr, (w_s, h_s),
                                         interpolation=cv2.INTER_LINEAR)
-                h, w, _ = img_hr.shape
-                img_hr = img_hr[: h - h % scale, : w - w % scale, :]
             img_lr = imresize_np(img_hr, 1.0 / scale, antialiasing=True)
             if img_lr.ndim == 2:
                 img_lr = img_lr[:, :, None]
+
+        if self.phase == "train":
+            # undersized-image rescue: the reference applies this AFTER the LR
+            # branch, regardless of whether LR came from disk — a disk LR is
+            # overwritten with a regenerated one (LRHR_dataset.py:88-96).
+            h, w, _ = img_hr.shape
+            if self.hr_size and (h < self.hr_size or w < self.hr_size):
+                import cv2
+
+                img_hr = cv2.resize(img_hr, (self.hr_size, self.hr_size),
+                                    interpolation=cv2.INTER_LINEAR)
+                img_lr = imresize_np(img_hr, 1.0 / scale, antialiasing=True)
+                if img_lr.ndim == 2:
+                    img_lr = img_lr[:, :, None]
 
         if self.phase == "train":
             lr_size = self.hr_size // scale

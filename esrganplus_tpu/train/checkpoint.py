@@ -60,12 +60,18 @@ def _save_pth(path: str, sd) -> None:
 def save_networks_pth(models_dir: str, tag, g_params, g_cfg, d_params=None,
                       d_cfg=None) -> None:
     """Export weights in reference-layout .pth (``<tag>_G.pth``, ``<tag>_D.pth``)."""
-    from esrganplus_tpu.convert.pth import discriminator_to_state_dict, generator_to_state_dict
+    from esrganplus_tpu.convert.pth import (
+        discriminator_sn_to_state_dict,
+        discriminator_to_state_dict,
+        generator_to_state_dict,
+    )
 
     _save_pth(os.path.join(models_dir, f"{tag}_G.pth"), generator_to_state_dict(g_params, g_cfg))
     if d_params is not None and d_cfg is not None:
-        _save_pth(os.path.join(models_dir, f"{tag}_D.pth"),
-                  discriminator_to_state_dict(d_params, d_cfg))
+        d_to_sd = (discriminator_sn_to_state_dict
+                   if getattr(d_cfg, "spectral_norm", False)
+                   else discriminator_to_state_dict)
+        _save_pth(os.path.join(models_dir, f"{tag}_D.pth"), d_to_sd(d_params, d_cfg))
 
 
 def latest_state_path(state_dir: str) -> Optional[str]:

@@ -84,11 +84,14 @@ class GANTrainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self._dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
-        sched_g = multistep_lr(cfg.lr_g, cfg.milestones, cfg.lr_gamma)
-        sched_d = multistep_lr(cfg.lr_d, cfg.milestones, cfg.lr_gamma)
-        self.lr_schedule = sched_g
-        self.tx_g = optax.adam(sched_g, b1=cfg.beta1_g, b2=cfg.beta2)
-        self.tx_d = optax.adam(sched_d, b1=cfg.beta1_d, b2=cfg.beta2)
+        # lr schedules are driven off the GLOBAL step inside _step (reference
+        # steps every scheduler each iteration, base_model.py:35-40) — NOT off
+        # optax's update count, which freezes whenever the G update is gated.
+        self.sched_g = multistep_lr(cfg.lr_g, cfg.milestones, cfg.lr_gamma)
+        self.sched_d = multistep_lr(cfg.lr_d, cfg.milestones, cfg.lr_gamma)
+        self.lr_schedule = self.sched_g
+        self.tx_g = optax.scale_by_adam(b1=cfg.beta1_g, b2=cfg.beta2)
+        self.tx_d = optax.scale_by_adam(b1=cfg.beta1_d, b2=cfg.beta2)
 
         self.use_feature = cfg.feature_weight > 0
         self.f_params = (load_vgg_feat(cfg.vgg_path, vgg_cfg)
@@ -186,10 +189,15 @@ class GANTrainer:
         lr_img, hr_img = batch
         rng_noise, rng_gp = jax.random.split(jax.random.fold_in(rng, state["step"]))
         f_params = state.get("f_params")
+        # 1-based iteration number — the reference's current_step.
+        gstep = state["step"] + 1
+        lr_g = self.sched_g(gstep)
+        lr_d = self.sched_d(gstep)
 
-        # ---- G update (gated by d_update_ratio / d_init_iters) ----
-        do_g = jnp.logical_and(state["step"] % cfg.d_update_ratio == 0,
-                               state["step"] >= cfg.d_init_iters)
+        # ---- G update (gated by d_update_ratio / d_init_iters, exactly the
+        # reference formula on the 1-based counter: SRRaGAN_model.py:119) ----
+        do_g = jnp.logical_and(gstep % cfg.d_update_ratio == 0,
+                               gstep > cfg.d_init_iters)
 
         def g_update(operand):
             g_params, g_opt = operand
@@ -197,6 +205,7 @@ class GANTrainer:
                 self._g_loss, has_aux=True)(g_params, state["d_params"], f_params,
                                             lr_img, hr_img, rng_noise)
             updates, new_g_opt = self.tx_g.update(grads, g_opt, g_params)
+            updates = jax.tree.map(lambda u: -lr_g * u, updates)
             new_g_params = optax.apply_updates(g_params, updates)
             g_logs = {**g_logs, "l_g_total": g_total}
             return new_g_params, new_g_opt, fake, g_logs
@@ -221,11 +230,12 @@ class GANTrainer:
         (d_total, ((st_real, st_fake), d_logs)), d_grads = jax.value_and_grad(
             self._d_loss, has_aux=True)(state["d_params"], fake_detached, hr_img, rng_gp)
         d_updates, new_d_opt = self.tx_d.update(d_grads, state["d_opt"], state["d_params"])
+        d_updates = jax.tree.map(lambda u: -lr_d * u, d_updates)
         new_d_params = optax.apply_updates(state["d_params"], d_updates)
         # torch updates BN running stats on BOTH D-step forwards (real then fake)
         new_d_params = merge_sequential_bn(new_d_params, st_real, st_fake, self.net_d)
 
-        logs = {**g_logs, **d_logs, "lr": self.lr_schedule(state["step"])}
+        logs = {**g_logs, **d_logs, "lr": lr_g}
         new_state = {
             "g_params": new_g_params,
             "d_params": new_d_params,

@@ -73,10 +73,16 @@ class SFTGANTrainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self._dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
-        sched = multistep_lr(cfg.lr_g, cfg.milestones, cfg.lr_gamma)
-        sched_sft = multistep_lr(cfg.lr_g * cfg.sft_lr_mult, cfg.milestones, cfg.lr_gamma)
-        sched_d = multistep_lr(cfg.lr_d, cfg.milestones, cfg.lr_gamma)
-        self.lr_schedule = sched
+        # lr schedules run off the GLOBAL step inside _step (the reference steps
+        # every scheduler each iteration, base_model.py:35-40) so the gated
+        # 'other'/'sft' groups keep the reference milestones; only the Adam
+        # moments/bias-correction count freeze with the gate (torch's per-group
+        # step counter also advances only on applied updates).
+        self.sched = multistep_lr(cfg.lr_g, cfg.milestones, cfg.lr_gamma)
+        self.sched_sft = multistep_lr(cfg.lr_g * cfg.sft_lr_mult, cfg.milestones,
+                                      cfg.lr_gamma)
+        self.sched_d = multistep_lr(cfg.lr_d, cfg.milestones, cfg.lr_gamma)
+        self.lr_schedule = self.sched
 
         def label_fn(params):
             def walk(tree, path):
@@ -89,11 +95,12 @@ class SFTGANTrainer:
 
             return walk(params, ())
 
+        # two groups so each keeps its own frozen-while-gated Adam state
         self.tx_g = optax.multi_transform(
-            {"sft": optax.adam(sched_sft, b1=cfg.beta1_g),
-             "other": optax.adam(sched, b1=cfg.beta1_g)},
+            {"sft": optax.scale_by_adam(b1=cfg.beta1_g),
+             "other": optax.scale_by_adam(b1=cfg.beta1_g)},
             label_fn)
-        self.tx_d = optax.adam(sched_d, b1=cfg.beta1_d)
+        self.tx_d = optax.scale_by_adam(b1=cfg.beta1_d)
         self._label_fn = label_fn
 
         self.use_feature = cfg.feature_weight > 0
@@ -161,20 +168,28 @@ class SFTGANTrainer:
         cfg = self.cfg
         lr_img, seg, hr_img, cat = batch
         f_params = state.get("f_params")
+        # 1-based iteration number — the reference's current_step.
+        gstep = state["step"] + 1
+        lr_sft = self.sched_sft(gstep)
+        lr_other = self.sched(gstep)
+        lr_d = self.sched_d(gstep)
 
         (g_total, (fake, g_logs)), grads = jax.value_and_grad(self._g_loss, has_aux=True)(
             state["g_params"], state["d_params"], f_params, lr_img, seg, hr_img, cat)
         updates, new_g_opt = self.tx_g.update(grads, state["g_opt"], state["g_params"])
 
-        # gate: SFT params follow D_update_ratio/D_init; 'other' waits for 20k.
+        # gate: SFT params follow D_update_ratio/D_init; 'other' waits for 20k —
+        # both on the 1-based counter exactly as the reference
+        # (SFTGAN_ACD_model.py:134,148-149: `step % ratio == 0 and step > N`).
         # The reference skips optimizer.step() entirely outside the gate, so
         # BOTH the params and the per-group Adam moments must stay frozen.
-        do_sft = jnp.logical_and(state["step"] % cfg.d_update_ratio == 0,
-                                 state["step"] > cfg.d_init_iters)
-        do_other = state["step"] > cfg.other_start_iter
+        do_sft = jnp.logical_and(gstep % cfg.d_update_ratio == 0,
+                                 gstep > cfg.d_init_iters)
+        do_other = gstep > cfg.other_start_iter
         labels = self._label_fn(state["g_params"])
         gated = jax.tree.map(
-            lambda u, lab: jnp.where(do_sft if lab == "sft" else do_other, u, 0.0),
+            lambda u, lab: (jnp.where(do_sft, -lr_sft * u, 0.0) if lab == "sft"
+                            else jnp.where(do_other, -lr_other * u, 0.0)),
             updates, labels)
         new_g_params = optax.apply_updates(state["g_params"], gated)
         inner_new = dict(new_g_opt.inner_states)
@@ -189,10 +204,11 @@ class SFTGANTrainer:
         (d_total, ((upd_r, upd_f), d_logs)), d_grads = jax.value_and_grad(self._d_loss, has_aux=True)(
             state["d_params"], fake_detached, hr_img, cat)
         d_updates, new_d_opt = self.tx_d.update(d_grads, state["d_opt"], state["d_params"])
+        d_updates = jax.tree.map(lambda u: -lr_d * u, d_updates)
         new_d_params = optax.apply_updates(state["d_params"], d_updates)
         new_d_params = acd_merge_sequential(new_d_params, upd_r, upd_f)
 
-        logs = {**g_logs, **d_logs, "lr": self.lr_schedule(state["step"])}
+        logs = {**g_logs, **d_logs, "lr": lr_other}
         new_state = {**state, "g_params": new_g_params, "d_params": new_d_params,
                      "g_opt": new_g_opt, "d_opt": new_d_opt, "step": state["step"] + 1}
         return new_state, logs

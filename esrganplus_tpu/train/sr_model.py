@@ -48,16 +48,24 @@ def pixel_loss(pred, target, criterion: str):
 
 
 def make_optimizer(cfg: SRTrainConfig):
+    """Adam-moment transform WITHOUT the lr scaling.
+
+    Trainers apply ``-lr(global_step)`` themselves so MultiStepLR follows the
+    global iteration (torch semantics: the reference steps every scheduler each
+    iteration, ``base_model.py:35-40``) even when an optimizer's updates are
+    gated — driving the schedule off optax's internal update count would shift
+    milestones whenever updates are skipped. Adam's bias-correction count still
+    advances per *applied* update, matching torch's per-group ``step`` counter.
+    """
     sched = multistep_lr(cfg.lr, cfg.milestones, cfg.lr_gamma)
-    tx = optax.adam(learning_rate=sched, b1=cfg.beta1, b2=cfg.beta2)
     parts = []
     if cfg.weight_decay:
         # torch Adam weight_decay = L2 added to the gradient before the update
         parts.append(optax.add_decayed_weights(cfg.weight_decay))
     if cfg.grad_clip:
         parts.append(optax.clip_by_global_norm(cfg.grad_clip))
-    if parts:
-        tx = optax.chain(*parts, tx)
+    parts.append(optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2))
+    tx = optax.chain(*parts) if len(parts) > 1 else parts[0]
     return tx, sched
 
 
@@ -113,13 +121,18 @@ class SRTrainer:
         lr_img, hr_img = batch
         # fresh noise every optimizer step even when the caller reuses one key
         rng = jax.random.fold_in(rng, state["step"])
+        # 1-based iteration number — the reference's current_step (train.py
+        # increments before update_learning_rate/optimize_parameters).
+        gstep = state["step"] + 1
         (loss, _), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
             state["params"], lr_img, hr_img, rng)
         updates, new_opt = self.tx.update(grads, state["opt_state"], state["params"])
+        lr = self.lr_schedule(gstep)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
         new_params = optax.apply_updates(state["params"], updates)
         logs = {
             "l_pix": loss,
-            "lr": self.lr_schedule(state["step"]),
+            "lr": lr,
             "grad_norm": optax.global_norm(grads),
         }
         new_state = {"params": new_params, "opt_state": new_opt, "step": state["step"] + 1}

@@ -147,6 +147,35 @@ def test_gradient_penalty_zero_for_linear_critic():
     assert abs(gp - want) < 1e-4
 
 
+def test_discriminator_sn_export_roundtrip():
+    """save_networks_pth-style SN export: reference key layout (conv{i}.weight_orig/
+    weight/weight_u + linear{0,1}.*) and an exact import round-trip."""
+    from esrganplus_tpu.convert.pth import (
+        discriminator_sn_from_state_dict,
+        discriminator_sn_to_state_dict,
+    )
+
+    cfg = DiscriminatorVGGConfig(input_size=128, base_nf=8, norm_type=None,
+                                 spectral_norm=True)
+    params = init_discriminator(jax.random.PRNGKey(3), cfg)
+    sd = discriminator_sn_to_state_dict(params, cfg)
+    want_keys = set()
+    for i in range(2 * cfg.n_stages):
+        want_keys |= {f"conv{i}.{s}" for s in ("weight_orig", "weight", "weight_u", "bias")}
+    for lin in ("linear0", "linear1"):
+        want_keys |= {f"{lin}.{s}" for s in ("weight_orig", "weight", "weight_u", "bias")}
+    assert set(sd) == want_keys
+    # the `weight` buffer is weight_orig / sigma for a positive scalar sigma
+    # (unit spectral norm only once the power iteration has converged)
+    ratio = sd["conv0.weight_orig"] / sd["conv0.weight"]
+    assert ratio.std() / abs(ratio.mean()) < 1e-5 and ratio.mean() > 0
+    back = discriminator_sn_from_state_dict(sd, cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(4), (2, 128, 128, 3))
+    y1, _ = discriminator_forward(params, x, cfg, train=True)
+    y2, _ = discriminator_forward(back, x, cfg, train=True)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+
 def test_discriminator_sn_parity():
     """Exact parity with the reference SN discriminator: import weight_orig +
     weight_u, run one power iteration like the vendored forward-pre-hook."""

@@ -104,6 +104,31 @@ def test_lrhr_dataset_crop_alignment(img_root):
     assert np.abs(lr_est[inner] - s["LR"][inner]).max() < 0.08
 
 
+def test_lrhr_dataset_undersized_rescue_with_disk_lr(tmp_path):
+    # The rescue applies in train phase even when LR was loaded from disk
+    # (reference LRHR_dataset.py:88-96 overwrites the disk LR): an HR smaller
+    # than HR_size must still yield full-size crops instead of crashing collate.
+    hr_dir = tmp_path / "HR"
+    lr_dir = tmp_path / "LR"
+    rng = np.random.RandomState(7)
+    for i, side in enumerate((24, 64)):  # one undersized, one normal
+        hr = (rng.rand(side, side, 3) * 255).astype(np.uint8)
+        save_img(hr, str(hr_dir / f"img{i}.png"))
+        lr = np.clip(imresize_np(hr.astype(np.float32) / 255.0, 0.25), 0, 1)
+        save_img((lr * 255).round().astype(np.uint8), str(lr_dir / f"img{i}.png"))
+    ds = create_dataset({
+        "mode": "LRHR", "phase": "train", "scale": 4, "HR_size": 32,
+        "dataroot_HR": str(hr_dir), "dataroot_LR": str(lr_dir),
+        "use_flip": False, "use_rot": False, "seed": 0,
+    })
+    for i in range(2):
+        s = ds[i]
+        assert s["HR"].shape == (32, 32, 3), (i, s["HR"].shape)
+        assert s["LR"].shape == (8, 8, 3), (i, s["LR"].shape)
+    batch = collate([ds[0], ds[1]])
+    assert batch["HR"].shape == (2, 32, 32, 3)
+
+
 def test_lrhr_dataset_onthefly_lr(img_root):
     hr_dir, _ = img_root
     ds = create_dataset({

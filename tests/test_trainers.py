@@ -74,14 +74,37 @@ def test_gan_trainer_step_and_gating():
     for i in range(4):
         state, logs = trainer.train_step(state, batch, jax.random.PRNGKey(i))
         logs_seq.append({k: float(v) for k, v in logs.items()})
-    # steps 0 and 2 update G (ratio=2); steps 1 and 3 skip (zero G losses)
-    assert logs_seq[0]["l_g_total"] != 0.0
-    assert logs_seq[1]["l_g_total"] == 0.0
-    assert logs_seq[2]["l_g_total"] != 0.0
+    # reference gating on the 1-based counter (`current_step % ratio == 0`,
+    # SRRaGAN_model.py:119): iterations 2 and 4 update G, 1 and 3 skip.
+    assert logs_seq[0]["l_g_total"] == 0.0
+    assert logs_seq[1]["l_g_total"] != 0.0
+    assert logs_seq[2]["l_g_total"] == 0.0
+    assert logs_seq[3]["l_g_total"] != 0.0
     for logs in logs_seq:
         for k, v in logs.items():
             assert np.isfinite(v), (k, v)
     assert int(state["step"]) == 4
+
+
+def test_gan_lr_milestones_follow_global_step_under_gating():
+    # With d_update_ratio=2 the G optimizer applies only every other step; the
+    # MultiStepLR milestones must still fire on the GLOBAL iteration (the
+    # reference steps every scheduler each iteration, base_model.py:35-40).
+    mesh = make_mesh()
+    cfg = GANTrainConfig(variant="srragan", feature_weight=0.0,
+                         d_update_ratio=2, d_init_iters=0,
+                         lr_g=1e-4, milestones=(3,), lr_gamma=0.5)
+    trainer = GANTrainer(NET, DiscriminatorVGGConfig(input_size=96, base_nf=8),
+                         cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = _batch(mesh, n=8, size=24)
+    lrs = []
+    for i in range(4):
+        state, logs = trainer.train_step(state, batch, jax.random.PRNGKey(i))
+        lrs.append(float(logs["lr"]))
+    # iterations 1..4: milestone at 3 halves the lr there, NOT at the 3rd
+    # *applied* G update (which would be iteration 6 under ratio=2)
+    np.testing.assert_allclose(lrs, [1e-4, 1e-4, 5e-5, 5e-5], rtol=1e-6)
 
 
 def test_gan_trainer_wgan_gp_runs():
