@@ -3,15 +3,32 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Protocol: RRDBNet nb=23 nf=64 gc=32 (16.8M params, the ESRGAN+ flagship), bf16
-compute / fp32 accumulation, batched 128×128 LR inputs → 512×512 outputs, steady
-state after warmup. Metric is output megapixels per second per chip.
+compute / fp32 MXU accumulation, batched 128×128 LR inputs → 512×512 outputs,
+steady state after warmup. Metric is output megapixels per second per chip.
+The trunk runs the fused transposed-layout Pallas RDB kernel
+(esrganplus_tpu/kernels/rdb_t.py); head/tail convs run through XLA.
 
-Baseline: the reference repo publishes no numbers (BASELINE.md), so the A100
-PyTorch figure is estimated analytically and pinned here: the generator costs
-~2.4 TFLOP per output MPix (2 × 16.4M weight-FLOPs at LR resolution + upsample
-tail); A100 PyTorch fp32/TF32 at a generous ~40% MXU efficiency sustains
-~15 TFLOPS on these narrow (64/32-channel) convs → ~6 MPix/s. vs_baseline is
-measured/6.0; the north-star target is ≥5× (≥30 MPix/s, BASELINE.json).
+Baseline (A100 PyTorch, pinned 6.0 MPix/s) — measured anchor + derivation:
+
+  * The generator costs ~2.42 TFLOP per output MPix (241,664 MAC/LR-pixel in
+    the 69 dense blocks + upsample tail, ×2 FLOP/MAC, ÷16 LR→HR pixel ratio).
+  * Measured on this host (2026-08-16): the reference's own inference net
+    (``/root/reference/test_image/architecture.py:7-38`` RRDB_Net, torch CPU,
+    1 thread — all this box exposes) runs 0.0476 MPix/s @96² ⇒ 0.115
+    effective TFLOP/s ≈ 60-75% of the core's fp32 AVX peak. This validates
+    the FLOP model; the remaining step is hardware scaling, not software.
+  * The reference's shipped inference path (``test_image/test.py:26-40``)
+    processes images one at a time (batch 1). For batch-1 torch eager on
+    A100: the forward issues ~414 conv + several hundred elementwise kernels;
+    with TF32 convs at the 5-15% sustained efficiency typical of 32-64-channel
+    3×3 convs (launch- and memory-bound at batch 1), 156 TFLOP/s peak gives
+    ~3.2-9.7 MPix/s; public V100 fp32 reports for RRDB ×4 (~1-2 MPix/s) scaled
+    by the usual 2.5-3.5× V100→A100-TF32 factor give the same 3-7 band.
+  * Pinned at 6.0 MPix/s, the middle of both bands (unchanged from round 1's
+    analytic estimate, which the measurement chain now corroborates).
+
+vs_baseline is measured/6.0; the north-star target is ≥5× (≥30 MPix/s,
+BASELINE.json).
 """
 
 from __future__ import annotations
@@ -43,7 +60,8 @@ def main():
     # Timing note: each iteration consumes the previous output (cropped back to
     # LR size) so the chain cannot be reordered/overlapped, and a single host
     # transfer at the end forces completion. block_until_ready alone is not a
-    # reliable fence on remotely-attached TPU runtimes.
+    # reliable fence on remotely-attached TPU runtimes, and transferring more
+    # than a scalar pays the tunnel's full-array cost (~100 ms).
     def chain(x0):
         acc = x0
         for _ in range(iters):

@@ -32,6 +32,55 @@ def test_conv3x3_kernel_interpret(interpret_mode):
     assert float(jnp.abs(got - want).max()) < 1e-5
 
 
+def _rand_rdb_params(nf, gc, key=0):
+    ks = jax.random.split(jax.random.PRNGKey(key), 6)
+    p = {
+        "conv1": kaiming_conv_init(ks[0], 3, 3, nf, gc, 1.0),
+        "conv2": kaiming_conv_init(ks[1], 3, 3, nf + gc, gc, 1.0),
+        "conv3": kaiming_conv_init(ks[2], 3, 3, nf + 2 * gc, gc, 1.0),
+        "conv4": kaiming_conv_init(ks[3], 3, 3, nf + 3 * gc, gc, 1.0),
+        "conv5": kaiming_conv_init(ks[4], 3, 3, nf + 4 * gc, nf, 1.0),
+        "conv1x1": kaiming_conv_init(ks[5], 1, 1, nf, gc, 1.0, bias=False),
+    }
+    for c in ("conv1", "conv2", "conv3", "conv4", "conv5"):
+        p[c]["b"] = jax.random.normal(jax.random.fold_in(ks[0], hash(c) % 97),
+                                      p[c]["b"].shape) * 0.1
+    return p
+
+
+def test_rdb_t_kernel_matches_xla_rdb():
+    # the production transposed RDB kernel (kernels/rdb_t.py): exact zero-pad
+    # semantics incl. row/column edges — H != W catches axis mixups.
+    from esrganplus_tpu.kernels.rdb_t import prepare_rdb_t_weights, rdb_t
+
+    nf, gc, B, H, W = 16, 8, 2, 10, 14
+    cfg = RRDBNetConfig(nf=nf, gc=gc)
+    p = _rand_rdb_params(nf, gc, key=5)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, H, W, nf), jnp.float32)
+    ref = _rdb_forward(x, p, cfg, jax.random.PRNGKey(0), False, None)
+    ws = prepare_rdb_t_weights(p, nf, gc, True, dtype=jnp.float32)
+    xt = x.transpose(0, 3, 1, 2).reshape(B, nf, H * W)
+    out = rdb_t(xt, *ws, nf=nf, gc=gc, h=H, w=W, interpret=True)
+    out = out.reshape(B, nf, H, W).transpose(0, 2, 3, 1)
+    assert float(jnp.abs(out - ref).max()) < 1e-4
+
+
+def test_rrdbnet_pallas_trunk_matches_xla():
+    # full-model integration: trunk_kernel='pallas' (interpret on CPU) must
+    # reproduce the XLA trunk including RRDB residuals and the upconv tail.
+    import dataclasses
+
+    from esrganplus_tpu.models import init_rrdbnet, rrdbnet_forward
+
+    cfg_p = RRDBNetConfig(nf=16, nb=2, gc=8, trunk_kernel="pallas")
+    cfg_x = dataclasses.replace(cfg_p, trunk_kernel="xla")
+    params = init_rrdbnet(jax.random.PRNGKey(0), cfg_p)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 9, 12, 3), jnp.float32)
+    out_p = rrdbnet_forward(params, x, cfg_p, train=False)
+    out_x = rrdbnet_forward(params, x, cfg_x, train=False)
+    assert float(jnp.abs(out_p - out_x).max()) < 1e-4
+
+
 def test_rdb_fused_kernel_interpret(interpret_mode):
     nf, gc = 16, 8
     cfg = RRDBNetConfig(nf=nf, gc=gc)
