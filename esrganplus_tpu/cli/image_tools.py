@@ -73,6 +73,9 @@ def cmd_video(args):
 
 
 def cmd_backproject(args):
+    from esrganplus_tpu.ops.back_projection import reverse_filter
+
+    refine = reverse_filter if getattr(args, "reverse_filter", False) else back_projection
     os.makedirs(args.out, exist_ok=True)
     for p in scan_images(args.sr):
         base = os.path.basename(p)
@@ -82,7 +85,7 @@ def cmd_backproject(args):
             lr_path = os.path.join(args.lr, stem + os.path.splitext(base)[1])
         sr = read_img(p)
         lr = read_img(lr_path)
-        refined = back_projection(sr, lr, args.scale, args.iters)
+        refined = refine(sr, lr, args.scale, args.iters)
         save_img((refined * 255).round().astype(np.uint8), os.path.join(args.out, base))
         print(base)
 
@@ -99,8 +102,10 @@ def main(argv=None):
     s = sub.add_parser("video"); s.add_argument("input"); s.add_argument("out")
     s.add_argument("--fps", type=int, default=10)
     s = sub.add_parser("backproject"); s.add_argument("sr"); s.add_argument("lr"); s.add_argument("out")
-    s.add_argument("--scale", type=int, default=4); s.add_argument("--iters", type=int, default=10)
+    s.add_argument("--scale", type=int, default=4); s.add_argument("--iters", type=int, default=20)
     s.add_argument("--suffix", default="_rlt")
+    # main_reverse_filter.m's double-resize residual loop instead of Gaussian BP
+    s.add_argument("--reverse-filter", dest="reverse_filter", action="store_true")
     args = ap.parse_args(argv)
     {"color2gray": cmd_color2gray, "rename": cmd_rename, "patches": cmd_patches,
      "video": cmd_video, "backproject": cmd_backproject}[args.cmd](args)

@@ -55,7 +55,8 @@ def main(argv=None):
         upscale_fn = inferencer.upscale_x8
     elif mode == "tiled":
         upscale_fn = lambda img: inferencer.upscale_tiled(
-            img, tile=opt.get("tile_size") or 128, halo=opt.get("tile_halo") or 16)
+            img, tile=opt.get("tile_size") or 128,
+            halo=opt.get("tile_halo"))  # None → derived from the weights
     else:
         upscale_fn = inferencer.upscale
 

@@ -111,17 +111,61 @@ class SRInferencer:
             outs.append(y)
         return np.mean(outs, axis=0)
 
-    def upscale_tiled(self, img_rgb: np.ndarray, tile: int = 128, halo: int = 16,
-                      tile_batch: int = 8) -> np.ndarray:
+    def derive_halo(self, eps: float = 1e-3, probe: int = 64, seed: int = 0) -> int:
+        """Measure the effective receptive radius of THIS network's weights.
+
+        The RRDB trunk's formal receptive field spans hundreds of pixels
+        (5 convs/RDB × 3 RDBs × nb blocks), but the β=0.2 residual scaling
+        makes influence decay geometrically, so the *effective* radius is
+        small. Measured empirically: perturb one pixel of a random probe
+        image and find the largest LR radius where the output still changes
+        by more than ``eps`` × the peak response. The returned halo bounds
+        single-pixel seam leakage by eps·peak; stitched tiles are NOT
+        bit-exact vs whole-image inference, but their error is below
+        eps-scale, far under the uint8 quantisation floor for eps=1e-3.
+
+        Cached per (eps, probe); costs two forwards at probe size.
+        """
+        key = (float(eps), int(probe), int(seed))
+        cache = getattr(self, "_halo_cache", {})
+        if key in cache:
+            return cache[key]
+        rng = np.random.RandomState(seed)
+        img = rng.rand(probe, probe, 3).astype(np.float32)
+        base = self.upscale(img)
+        img2 = img.copy()
+        c = probe // 2
+        img2[c, c, :] = 1.0 - img2[c, c, :]
+        diff = np.abs(self.upscale(img2) - base).max(axis=2)
+        s = self.cfg.upscale
+        peak = float(diff.max())
+        ys, xs = np.nonzero(diff > eps * max(peak, 1e-12))
+        if len(ys) == 0:
+            halo = 4
+        else:
+            # distance from the perturbed LR pixel's HR footprint, in LR px
+            dy = np.maximum(0, np.maximum(c * s - ys, ys - (c * s + s - 1)))
+            dx = np.maximum(0, np.maximum(c * s - xs, xs - (c * s + s - 1)))
+            halo = int(-(-int(np.maximum(dy, dx).max()) // s)) + 1
+        halo = max(4, min(halo, probe // 2 - 1))
+        cache[key] = halo
+        self._halo_cache = cache
+        return halo
+
+    def upscale_tiled(self, img_rgb: np.ndarray, tile: int = 128,
+                      halo: Optional[int] = None, tile_batch: int = 8,
+                      halo_eps: float = 1e-3) -> np.ndarray:
         """Spatially-tiled SR for images too large for one pass.
 
         Tiles of ``tile``×``tile`` LR px are forwarded with a ``halo``-px
         overlap and centre-stitched; up to ``tile_batch`` same-shape tiles run
-        as ONE batched forward (a single compiled program, MXU kept busy). The
-        RRDB trunk's receptive field decays fast; halo 16 keeps stitching error
-        below visual/metric thresholds but is NOT bit-exact vs whole-image
-        inference near tile seams.
+        as ONE batched forward (a single compiled program, MXU kept busy).
+        ``halo=None`` derives the receptive-field-safe halo from the actual
+        weights via :meth:`derive_halo` (error bound documented there);
+        passing an int overrides it.
         """
+        if halo is None:
+            halo = min(self.derive_halo(eps=halo_eps), max(1, (tile - 2) // 2))
         h, w, c = img_rgb.shape
         s = self.cfg.upscale
         if h <= tile and w <= tile:

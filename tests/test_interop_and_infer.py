@@ -85,6 +85,22 @@ def test_tiled_matches_whole_image(small_inferencer):
     assert np.abs(whole - tiled).mean() < 2e-3
 
 
+def test_derived_halo_bounds_seam_error(small_inferencer):
+    # halo=None derives the receptive-field-safe halo from the weights; the
+    # resulting seam error must sit at the eps scale — far tighter than a
+    # deliberately-too-small halo.
+    halo = small_inferencer.derive_halo(eps=1e-3, probe=32)
+    assert 4 <= halo <= 15
+    img = np.random.RandomState(5).rand(48, 48, 3).astype(np.float32)
+    whole = small_inferencer.upscale(img)
+    tiled_auto = small_inferencer.upscale_tiled(img, tile=32, halo_eps=1e-3)
+    tiled_bad = small_inferencer.upscale_tiled(img, tile=32, halo=2)
+    err_auto = np.abs(whole - tiled_auto).max()
+    err_bad = np.abs(whole - tiled_bad).max()
+    assert err_auto < 4e-3, err_auto          # eps-scale, sub-uint8-LSB
+    assert err_auto <= err_bad
+
+
 def test_back_projection_reduces_consistency_error():
     rng = np.random.RandomState(3)
     hr = rng.rand(32, 32, 3).astype(np.float32)
@@ -93,6 +109,35 @@ def test_back_projection_reduces_consistency_error():
     err0 = np.abs(imresize_np(sr0, 0.25) - lr).mean()
     sr1 = back_projection(sr0, lr, 4, iters=10)
     err1 = np.abs(imresize_np(sr1, 0.25) - lr).mean()
+    assert err1 < err0 * 0.35  # Gaussian-filtered residual converges slower
+
+
+def test_back_projection_gaussian_matches_fspecial():
+    # fspecial('gaussian',5,1) squared + renormalised (backprojection.m:6-8);
+    # the separable 1-D factor must reproduce the 2-D kernel exactly.
+    from esrganplus_tpu.ops.back_projection import _fspecial_gaussian_sq
+
+    r = np.arange(5.0) - 2.0
+    g2d = np.exp(-(r[:, None] ** 2 + r[None, :] ** 2) / 2.0)
+    g2d /= g2d.sum()
+    g2d = g2d ** 2
+    g2d /= g2d.sum()
+    k = _fspecial_gaussian_sq()
+    np.testing.assert_allclose(np.outer(k, k), g2d, atol=1e-12)
+
+
+def test_reverse_filter_reduces_consistency_error():
+    # main_reverse_filter.m:18-23 — double-resize residual loop
+    from esrganplus_tpu.ops.back_projection import reverse_filter
+
+    rng = np.random.RandomState(4)
+    hr = rng.rand(32, 32, 3).astype(np.float32)
+    lr = imresize_np(hr, 0.25)
+    sr0 = np.clip(hr + rng.randn(32, 32, 3).astype(np.float32) * 0.05, 0, 1)
+    j = imresize_np(lr, 4.0)
+    err0 = np.abs(j - imresize_np(imresize_np(sr0, 0.25), 4.0)).mean()
+    sr1 = reverse_filter(sr0, lr, 4, iters=20)
+    err1 = np.abs(j - imresize_np(imresize_np(sr1, 0.25), 4.0)).mean()
     assert err1 < err0 * 0.2
 
 
