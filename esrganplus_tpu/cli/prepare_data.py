@@ -86,31 +86,33 @@ def cmd_modlrbic(args):
 
 
 def cmd_lmdb(args):
-    try:
-        import lmdb
-    except ImportError:
-        raise SystemExit("the lmdb module is not installed in this environment")
-    import cv2
+    """Pack an image folder into an LMDB environment (create_lmdb.py:35-66):
+    key = basename without extension, value = raw uint8 bytes, ``<key>.meta``
+    = ``"H, W, C"``; finish by pickling a ``_keys_cache.p`` of every key in
+    cursor order. Uses the pure-python writer (data/lmdb_io.py) — the lmdb C
+    module is not required."""
     import pickle
 
+    import cv2
+
+    from esrganplus_tpu.data.lmdb_io import LmdbReader, write_lmdb
+
+    items = {}
     paths = scan_images(args.input)
-    imgs = []
-    total = 0
+    bar = ProgressBar(len(paths))
     for p in paths:
         img = cv2.imread(p, cv2.IMREAD_UNCHANGED)
-        imgs.append((os.path.basename(p), img))
-        total += img.nbytes
-    env = lmdb.open(args.out, map_size=total * 2 + (1 << 24))
-    bar = ProgressBar(len(imgs))
-    with env.begin(write=True) as txn:
-        for key, img in imgs:
-            txn.put(key.encode("ascii"), img)
-            h, w = img.shape[:2]
-            c = img.shape[2] if img.ndim == 3 else 1
-            txn.put((key + ".meta").encode("ascii"), f"{h}, {w}, {c}".encode("ascii"))
-            bar.update(key)
+        key = os.path.splitext(os.path.basename(p))[0]
+        h, w = img.shape[:2]
+        c = img.shape[2] if img.ndim == 3 else 1
+        items[key.encode("ascii")] = np.ascontiguousarray(img).tobytes()
+        items[f"{key}.meta".encode("ascii")] = f"{h}, {w}, {c}".encode("ascii")
+        bar.update(key)
+    write_lmdb(args.out, items)
+    # key cache exactly as the reference builds it: cursor order, all keys
+    keys = [k.decode("ascii") for k in LmdbReader(args.out).keys()]
     with open(os.path.join(args.out, "_keys_cache.p"), "wb") as f:
-        pickle.dump([k for k, _ in imgs], f)
+        pickle.dump(keys, f)
     print()
 
 

@@ -8,8 +8,9 @@ when no LR root is given, undersized-image rescue, aligned random crop
 augmentation, BGR→RGB. Output here is NHWC float32 numpy (TPU layout) rather
 than CHW tensors.
 
-LMDB reading is supported when the ``lmdb`` module is importable (it is not in
-this image); the loader degrades with a clear error otherwise.
+LMDB roots are read through the pure-python LMDB format reader
+(:mod:`esrganplus_tpu.data.lmdb_io`), honouring the reference's
+``_keys_cache.p`` pickled key cache — no lmdb C module required.
 """
 
 from __future__ import annotations
@@ -42,27 +43,37 @@ def _paired_augment(imgs, hflip: bool, rot: bool, rng: random.Random):
 
 
 class _LmdbReader:
+    """LMDB image source with the reference's key-cache semantics
+    (``codes/data/util.py:34-69``): keys come from ``_keys_cache.p`` when
+    present (creating it on first open otherwise), paths are the sorted
+    non-``.meta`` keys, and each image is raw uint8 bytes shaped by its
+    ``<key>.meta`` record. Backed by the pure-python LMDB reader
+    (:mod:`esrganplus_tpu.data.lmdb_io`) — no lmdb C module needed."""
+
     def __init__(self, root: str):
-        try:
-            import lmdb
-        except ImportError as e:
-            raise ImportError(
-                f"dataset root {root!r} is an LMDB but the lmdb module is not "
-                "installed; use an image-folder root instead") from e
-        self.env = lmdb.open(root, readonly=True, lock=False, readahead=False, meminit=False)
-        with self.env.begin() as txn:
-            self.keys = sorted(
-                k.decode() for k, _ in txn.cursor() if not k.decode().endswith(".meta"))
+        import os
+        import pickle
+
+        from esrganplus_tpu.data.lmdb_io import LmdbReader
+
+        self.env = LmdbReader(root)
+        cache = os.path.join(root, "_keys_cache.p") if os.path.isdir(root) else None
+        if cache and os.path.isfile(cache):
+            with open(cache, "rb") as f:
+                keys = pickle.load(f)
+        else:
+            keys = [k.decode("ascii") for k in self.env.keys()]
+            if cache:
+                with open(cache, "wb") as f:
+                    pickle.dump(keys, f)
+        self.keys = sorted(k for k in keys if not k.endswith(".meta"))
 
     def paths(self):
         return self.keys
 
     def read(self, key: str) -> np.ndarray:
-        import cv2
-
-        with self.env.begin(write=False) as txn:
-            buf = txn.get(key.encode())
-            meta = txn.get((key + ".meta").encode()).decode()
+        buf = self.env.get(key.encode("ascii"))
+        meta = self.env.get((key + ".meta").encode("ascii")).decode("ascii")
         h, w, c = [int(s) for s in meta.split(",")]
         img = np.frombuffer(buf, np.uint8).reshape(h, w, c)
         img = img.astype(np.float32) / 255.0
