@@ -60,6 +60,40 @@ def main(argv=None):
     else:
         upscale_fn = inferencer.upscale
 
+    # Shard Set5/Set14-style sweeps across the mesh's data axis when more
+    # than one device is attached (interior-exact; borders within the
+    # receptive radius of the pad edge differ — set eval_sharded: false for
+    # strict whole-image border parity).
+    import jax
+
+    sharded = None
+    if (mode == "normal" and len(jax.devices()) > 1
+            and opt.get("eval_sharded") is not False):
+        from esrganplus_tpu.infer import ShardedEvaluator
+        from esrganplus_tpu.parallel import make_mesh
+
+        sharded = ShardedEvaluator(net_g, make_mesh(), dtype=dtype)
+        logger.info(f"sharded eval over {sharded.ndev} devices")
+
+    def iter_results(test_set):
+        loader = EvalLoader(test_set)
+        if sharded is None:
+            for sample in loader:
+                yield sample, upscale_fn(sample["LR"])
+            return
+        chunk: list = []
+        for sample in loader:
+            chunk.append(sample)
+            if len(chunk) == 4 * sharded.ndev:
+                for s, sr in zip(chunk, sharded.upscale_batch(
+                        inferencer.params, [c["LR"] for c in chunk])):
+                    yield s, sr
+                chunk = []
+        if chunk:
+            for s, sr in zip(chunk, sharded.upscale_batch(
+                    inferencer.params, [c["LR"] for c in chunk])):
+                yield s, sr
+
     for name, ds_opt in opt["datasets"].items():
         ds_opt["phase"] = "test"
         test_set = create_dataset(ds_opt)
@@ -70,9 +104,8 @@ def main(argv=None):
 
         metrics = {"psnr": [], "ssim": [], "psnr_y": [], "ssim_y": []}
         t0 = time.time()
-        for sample in EvalLoader(test_set):
+        for sample, sr in iter_results(test_set):
             base = os.path.splitext(os.path.basename(sample["LR_path"]))[0]
-            sr = upscale_fn(sample["LR"])
             sr_img = tensor2img(sr)  # BGR uint8
             suffix = opt.get("suffix") or ""
             save_img(sr_img, os.path.join(dataset_dir, base + suffix + ".png"))

@@ -156,6 +156,7 @@ def main(argv=None):
     val_freq = opt["train"].get("val_freq", 5000)
     save_freq = opt["train"].get("save_checkpoint_freq", 5000)
     rng = jax.random.PRNGKey(seed + 1)
+    sharded_eval = None
 
     t_last = time.time()
     for step in range(start_step, niter):
@@ -177,12 +178,30 @@ def main(argv=None):
             g_params = state[g_key]
             psnrs = []
             scale = net_g.upscale
-            for sample in val_ds:
-                lr_img = sample["LR"][None]
-                if model_kind == "sftgan":
-                    sr = np.asarray(trainer.predict(g_params, lr_img, sample["seg"][None]))[0]
-                else:
-                    sr = np.asarray(trainer.predict(g_params, lr_img))[0]
+            # shard validation images across the mesh's data axis (SFT needs
+            # the seg side input and keeps the sequential path)
+            if model_kind != "sftgan" and mesh.shape["data"] > 1:
+                if sharded_eval is None:
+                    from esrganplus_tpu.infer import ShardedEvaluator
+
+                    sharded_eval = ShardedEvaluator(net_g, mesh,
+                                                    dtype=trainer._dtype)
+                samples = [val_ds[i] for i in range(len(val_ds))]
+                srs = sharded_eval.upscale_batch(g_params,
+                                                 [s["LR"] for s in samples])
+                results = zip(samples, srs)
+            else:
+                def _seq():
+                    for sample in val_ds:
+                        lr_img = sample["LR"][None]
+                        if model_kind == "sftgan":
+                            yield sample, np.asarray(trainer.predict(
+                                g_params, lr_img, sample["seg"][None]))[0]
+                        else:
+                            yield sample, np.asarray(trainer.predict(g_params, lr_img))[0]
+
+                results = _seq()
+            for sample, sr in results:
                 sr_img = tensor2img(sr)
                 gt_img = tensor2img(sample["HR"])
                 base = os.path.splitext(os.path.basename(sample["HR_path"]))[0]

@@ -32,6 +32,61 @@ def load_generator(path: str, cfg: Optional[RRDBNetConfig] = None,
     return generator_from_state_dict(sd, cfg, missing_conv1x1=missing_conv1x1)
 
 
+class ShardedEvaluator:
+    """Batched evaluation sharded over the mesh's ``data`` axis.
+
+    The reference evaluates strictly sequentially at batch 1
+    (``codes/test.py:49``); at slice scale a Set5/Set14 sweep should instead
+    fill every chip. Differently-sized images are edge-padded to the set's
+    max dims (rounded to ``pad_multiple``), the batch is zero-padded to the
+    axis size, ONE compiled ``shard_map`` forward is reused for every chunk,
+    and each output is cropped back.
+
+    Trade-off (documented, same as SRInferencer.pad_multiple): edge padding
+    perturbs convolution borders within the network's effective receptive
+    radius of the right/bottom edges, so results are interior-exact but not
+    bit-identical to whole-image inference there. Use the sequential path
+    when strict border parity matters.
+    """
+
+    def __init__(self, cfg: RRDBNetConfig, mesh, dtype=None, pad_multiple: int = 8):
+        from jax.sharding import PartitionSpec as P
+
+        self.cfg = cfg
+        self.mesh = mesh
+        self.dtype = dtype
+        self.pad_multiple = pad_multiple
+        self.ndev = mesh.shape["data"]
+        self.calls = 0  # compiled-forward invocations (for tests/telemetry)
+        fn = functools.partial(generator_forward, cfg=cfg, train=False, dtype=dtype)
+        self._fwd = jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data"),
+            check_vma=False))
+
+    def upscale_batch(self, params, images) -> list:
+        """list of HWC RGB [0,1] arrays (any sizes) → list of float32 SR."""
+        s = self.cfg.upscale
+        m = self.pad_multiple
+        hm = max(i.shape[0] for i in images)
+        wm = max(i.shape[1] for i in images)
+        hm += (-hm) % m
+        wm += (-wm) % m
+        c = images[0].shape[2]
+        outs = []
+        for i0 in range(0, len(images), self.ndev):
+            chunk = images[i0:i0 + self.ndev]
+            stack = np.zeros((self.ndev, hm, wm, c), np.float32)
+            for j, img in enumerate(chunk):
+                h, w = img.shape[:2]
+                stack[j] = np.pad(img, ((0, hm - h), (0, wm - w), (0, 0)), mode="edge")
+            y = np.asarray(self._fwd(params, jnp.asarray(stack)), np.float32)
+            self.calls += 1
+            for j, img in enumerate(chunk):
+                h, w = img.shape[:2]
+                outs.append(np.clip(y[j, :h * s, :w * s, :], 0.0, 1.0))
+        return outs
+
+
 class SRInferencer:
     """jit-compiled ×scale SR on arbitrary-size images.
 

@@ -33,6 +33,32 @@ def ensure_cached_goldens() -> bool:
     return True
 
 
+def ensure_flagship_golden() -> bool:
+    """Flagship-shaped (nb=23, nf=64, gc=32) fp32 forward fixture — cached,
+    regenerates from the reference on demand (the .pth is ~64 MB)."""
+    if os.path.exists(os.path.join(CACHE, "rrdb_flagship_io.npz")):
+        return True
+    if not os.path.isdir(REF):
+        return False
+    _make_flagship_golden()
+    return True
+
+
+def _make_flagship_golden():
+    import torch
+
+    ref_arch = _import_test_image_arch()
+    os.makedirs(CACHE, exist_ok=True)
+    torch.manual_seed(17)
+    net = ref_arch.RRDB_Net(3, 3, 64, 23, gc=32, upscale=4).eval()
+    x = torch.rand(1, 3, 96, 96)
+    with torch.no_grad():
+        y = net(x)
+    torch.save(net.state_dict(), os.path.join(CACHE, "rrdb_flagship.pth"))
+    np.savez_compressed(os.path.join(CACHE, "rrdb_flagship_io.npz"),
+                        x=x.numpy(), y=y.numpy())
+
+
 def ensure_sft_goldens() -> bool:
     if os.path.exists(os.path.join(CACHE, "sft_io.npz")):
         return True

@@ -141,6 +141,37 @@ def test_reverse_filter_reduces_consistency_error():
     assert err1 < err0 * 0.2
 
 
+def test_sharded_evaluator_matches_sequential(small_inferencer):
+    from esrganplus_tpu.infer import ShardedEvaluator
+    from esrganplus_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=8, devices=jax.devices()[:8])
+    ev = ShardedEvaluator(small_inferencer.cfg, mesh)
+    rng = np.random.RandomState(7)
+
+    # same-size images, dims multiples of pad_multiple → NO padding → exact,
+    # and n=10 images over 8 devices = exactly 2 compiled batched calls
+    imgs = [rng.rand(16, 24, 3).astype(np.float32) for _ in range(10)]
+    outs = ev.upscale_batch(small_inferencer.params, imgs)
+    assert ev.calls == 2
+    for img, out in zip(imgs, outs):
+        want = small_inferencer.upscale(img)
+        np.testing.assert_allclose(out, want, atol=1e-5)
+
+    # mixed sizes: padded eval is interior-exact; borders within the
+    # receptive radius of the pad edge may differ (documented trade-off)
+    imgs = [rng.rand(16, 24, 3).astype(np.float32),
+            rng.rand(12, 17, 3).astype(np.float32)]
+    outs = ev.upscale_batch(small_inferencer.params, imgs)
+    halo = small_inferencer.derive_halo(eps=1e-3, probe=32)
+    s = small_inferencer.cfg.upscale
+    for img, out in zip(imgs, outs):
+        want = small_inferencer.upscale(img)
+        assert out.shape == want.shape
+        m = halo * s
+        np.testing.assert_allclose(out[:-m, :-m], want[:-m, :-m], atol=2e-3)
+
+
 def test_net_interp_blend():
     sd_a = {"k": np.zeros((2, 2), np.float32)}
     sd_b = {"k": np.ones((2, 2), np.float32), "only_b": np.full((3,), 2.0, np.float32)}
