@@ -178,17 +178,29 @@ def main(argv=None):
             g_params = state[g_key]
             psnrs = []
             scale = net_g.upscale
-            # shard validation images across the mesh's data axis (SFT needs
-            # the seg side input and keeps the sequential path)
-            if model_kind != "sftgan" and mesh.shape["data"] > 1:
+            # shard validation images across the mesh's data axis (SFT rides
+            # its HR-scale seg maps along as the evaluator's side input)
+            if mesh.shape["data"] > 1:
                 if sharded_eval is None:
                     from esrganplus_tpu.infer import ShardedEvaluator
 
-                    sharded_eval = ShardedEvaluator(net_g, mesh,
-                                                    dtype=trainer._dtype)
+                    if model_kind == "sftgan":
+                        import functools as _ft
+
+                        from esrganplus_tpu.models.sft import sftnet_forward
+
+                        sharded_eval = ShardedEvaluator(
+                            net_g, mesh,
+                            fwd_fn=_ft.partial(sftnet_forward, cfg=net_g),
+                            side_scale=net_g.upscale)
+                    else:
+                        sharded_eval = ShardedEvaluator(net_g, mesh,
+                                                        dtype=trainer._dtype)
                 samples = [val_ds[i] for i in range(len(val_ds))]
-                srs = sharded_eval.upscale_batch(g_params,
-                                                 [s["LR"] for s in samples])
+                srs = sharded_eval.upscale_batch(
+                    g_params, [s["LR"] for s in samples],
+                    sides=([s["seg"] for s in samples]
+                           if model_kind == "sftgan" else None))
                 results = zip(samples, srs)
             else:
                 def _seq():

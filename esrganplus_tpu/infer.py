@@ -49,22 +49,36 @@ class ShardedEvaluator:
     when strict border parity matters.
     """
 
-    def __init__(self, cfg: RRDBNetConfig, mesh, dtype=None, pad_multiple: int = 8):
+    def __init__(self, cfg, mesh, dtype=None, pad_multiple: int = 8,
+                 fwd_fn=None, side_scale: int = 0):
+        """``fwd_fn(params, img[, side])`` overrides the default RRDB forward
+        (e.g. ``functools.partial(sftnet_forward, cfg=...)`` for SFT-GAN whose
+        generator takes a segmentation side input); ``side_scale`` > 0 declares
+        that side input, sized ``side_scale``× the LR image (SFT seg maps ride
+        at HR scale = ``cfg.upscale``)."""
         from jax.sharding import PartitionSpec as P
 
         self.cfg = cfg
         self.mesh = mesh
         self.dtype = dtype
         self.pad_multiple = pad_multiple
+        self.side_scale = side_scale
         self.ndev = mesh.shape["data"]
         self.calls = 0  # compiled-forward invocations (for tests/telemetry)
-        fn = functools.partial(generator_forward, cfg=cfg, train=False, dtype=dtype)
+        if fwd_fn is None:
+            fwd_fn = functools.partial(generator_forward, cfg=cfg, train=False,
+                                       dtype=dtype)
+        n_in = 2 if side_scale else 1
         self._fwd = jax.jit(jax.shard_map(
-            fn, mesh=mesh, in_specs=(P(), P("data")), out_specs=P("data"),
-            check_vma=False))
+            fwd_fn, mesh=mesh, in_specs=(P(),) + (P("data"),) * n_in,
+            out_specs=P("data"), check_vma=False))
 
-    def upscale_batch(self, params, images) -> list:
-        """list of HWC RGB [0,1] arrays (any sizes) → list of float32 SR."""
+    def upscale_batch(self, params, images, sides=None) -> list:
+        """list of HWC RGB [0,1] arrays (any sizes) → list of float32 SR.
+
+        ``sides``: per-image side-input arrays (HWC, ``side_scale``× the image
+        dims), required iff the evaluator was built with ``side_scale``."""
+        assert (sides is None) == (self.side_scale == 0)
         s = self.cfg.upscale
         m = self.pad_multiple
         hm = max(i.shape[0] for i in images)
@@ -79,7 +93,18 @@ class ShardedEvaluator:
             for j, img in enumerate(chunk):
                 h, w = img.shape[:2]
                 stack[j] = np.pad(img, ((0, hm - h), (0, wm - w), (0, 0)), mode="edge")
-            y = np.asarray(self._fwd(params, jnp.asarray(stack)), np.float32)
+            args = [jnp.asarray(stack)]
+            if sides is not None:
+                r = self.side_scale
+                schunk = sides[i0:i0 + self.ndev]
+                sstack = np.zeros((self.ndev, hm * r, wm * r, schunk[0].shape[2]),
+                                  np.float32)
+                for j, sd in enumerate(schunk):
+                    sh, sw = sd.shape[:2]
+                    sstack[j] = np.pad(sd, ((0, hm * r - sh), (0, wm * r - sw),
+                                            (0, 0)), mode="edge")
+                args.append(jnp.asarray(sstack))
+            y = np.asarray(self._fwd(params, *args), np.float32)
             self.calls += 1
             for j, img in enumerate(chunk):
                 h, w = img.shape[:2]

@@ -29,12 +29,22 @@ NOTES_ROUND2.md):
 Numerics mirror the XLA bf16 path: MXU accumulates f32, each stage output is
 rounded to bf16 (as XLA's bf16-emitting convs do), β=0.2 residual scaling and
 the ESRGAN+ conv1x1 shortcut (reference ``block.py:260-268``) are preserved.
-Inference-only (no custom VJP); training uses the XLA path.
+
+Training goes through :func:`rdb_t_diff` — the same forward plus a custom VJP
+whose backward is a second Pallas kernel (``_rdb_t_bwd_kernel``): it
+rematerialises the im2col buffer (cheaper than saving 5 intermediates to HBM),
+then runs the adjoint as the same by-target dots transposed — ``dW_k = dz_k ·
+IMᵀ`` and ``dIM += W_kᵀ · dz_k`` — with the tap-append adjoint expressed as
+reverse lane-shifts. dW accumulates across the batch grid in f32 output blocks
+revisited every step, so master-precision gradients leave the kernel directly
+(weights cross the custom_vjp boundary in f32 and are cast to the compute
+dtype inside).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -72,18 +82,22 @@ def prepare_rdb_t_weights(p: dict, nf: int, gc: int, conv1x1: bool,
     return wk(1), wk(2), wk(3), wk(4), wk(5), w11, bias
 
 
-def _shifted(src, shift: int, mask_l, mask_r, s: int):
-    """Lane-shift with zero fill: out[:, m] = src[:, m + shift] (0 outside),
-    masked at row-crossing columns for the s=0 / s=2 taps."""
+def _lane_shift(src, shift: int):
+    """Lane-shift with zero fill: out[:, m] = src[:, m + shift] (0 outside)."""
     c = src.shape[0]
     if shift > 0:
-        out = jnp.concatenate(
+        return jnp.concatenate(
             [src[:, shift:], jnp.zeros((c, shift), src.dtype)], axis=1)
-    elif shift < 0:
-        out = jnp.concatenate(
+    if shift < 0:
+        return jnp.concatenate(
             [jnp.zeros((c, -shift), src.dtype), src[:, :shift]], axis=1)
-    else:
-        out = src
+    return src
+
+
+def _shifted(src, shift: int, mask_l, mask_r, s: int):
+    """Lane-shift with zero fill, masked at row-crossing columns for the
+    s=0 / s=2 taps."""
+    out = _lane_shift(src, shift)
     if s == 0:
         out = out * mask_l
     elif s == 2:
@@ -91,9 +105,13 @@ def _shifted(src, shift: int, mask_l, mask_r, s: int):
     return out
 
 
-def _rdb_t_kernel(x_ref, w1, w2, w3, w4, w5, w11, b_ref, o_ref, im_ref, *,
+def _rdb_t_kernel(x_ref, w1, w2, w3, w4, w5, w11, b_ref, *rest,
                   nf: int, gc: int, H: int, W: int, slope: float,
-                  res_scale: float):
+                  res_scale: float, rrdb_scale: Optional[float] = None):
+    if rrdb_scale is not None:
+        res_ref, o_ref, im_ref = rest
+    else:
+        o_ref, im_ref = rest
     M = H * W
     dt = x_ref.dtype
 
@@ -150,40 +168,312 @@ def _rdb_t_kernel(x_ref, w1, w2, w3, w4, w5, w11, b_ref, o_ref, im_ref, *,
     append_taps(x4, off9(4), gc)                   # ESRGAN+ x4 += x2 residual
 
     x5 = stage(5, w5, nf)                          # no activation on conv5
-    o_ref[0] = (x5 * res_scale + x.astype(jnp.float32)).astype(dt)
+    out = x5 * res_scale + x.astype(jnp.float32)
+    if rrdb_scale is not None:
+        # folded RRDB epilogue: this RDB is the third in its RRDB, so apply
+        # the block-level β and residual here instead of an XLA add
+        # (reference block.py:287-291) — saves an HBM round-trip per RRDB.
+        out = out * rrdb_scale + res_ref[0].astype(jnp.float32)
+    o_ref[0] = out.astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=("nf", "gc", "h", "w", "slope",
-                                             "res_scale", "interpret"))
-def rdb_t(x, w1, w2, w3, w4, w5, w11, bias, *, nf: int, gc: int, h: int,
-          w: int, slope: float = 0.2, res_scale: float = 0.2,
-          interpret: bool = False):
+                                             "res_scale", "rrdb_scale",
+                                             "interpret"))
+def rdb_t(x, w1, w2, w3, w4, w5, w11, bias, res=None, *, nf: int, gc: int,
+          h: int, w: int, slope: float = 0.2, res_scale: float = 0.2,
+          rrdb_scale: Optional[float] = None, interpret: bool = False):
     """Fused transposed RDB forward: x ``[B, nf, H·W]`` bf16 → same shape.
 
-    Weights from :func:`prepare_rdb_t_weights`.
+    Weights from :func:`prepare_rdb_t_weights`. With ``rrdb_scale``/``res``
+    set, the RRDB epilogue ``out·β + res`` is folded into the kernel (use on
+    the third RDB of each RRDB).
     """
     bsz, cin, m = x.shape
     assert cin == nf and m == h * w, (x.shape, nf, h, w)
+    assert (res is None) == (rrdb_scale is None)
     ktot = 9 * (nf + 4 * gc)
     kernel = functools.partial(_rdb_t_kernel, nf=nf, gc=gc, H=h, W=w,
-                               slope=slope, res_scale=res_scale)
+                               slope=slope, res_scale=res_scale,
+                               rrdb_scale=rrdb_scale)
     vfull = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+    img = lambda: pl.BlockSpec((1, nf, m), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+    in_specs = [
+        img(),
+        vfull(w1.shape), vfull(w2.shape), vfull(w3.shape),
+        vfull(w4.shape), vfull(w5.shape), vfull(w11.shape),
+        vfull(bias.shape),
+    ]
+    args = [x, w1, w2, w3, w4, w5, w11, bias]
+    if res is not None:
+        in_specs.append(img())
+        args.append(res)
     return pl.pallas_call(
         kernel,
         grid=(bsz,),
-        in_specs=[
-            pl.BlockSpec((1, nf, m), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            vfull(w1.shape), vfull(w2.shape), vfull(w3.shape),
-            vfull(w4.shape), vfull(w5.shape), vfull(w11.shape),
-            vfull(bias.shape),
-        ],
-        out_specs=pl.BlockSpec((1, nf, m), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=img(),
         out_shape=jax.ShapeDtypeStruct((bsz, nf, m), x.dtype),
         scratch_shapes=[pltpu.VMEM((ktot, m), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(x, w1, w2, w3, w4, w5, w11, bias)
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# backward (training)
+# ---------------------------------------------------------------------------
+
+
+def _rdb_t_bwd_kernel(x_ref, w1, w2, w3, w4, w5, w11, b_ref, g_ref,
+                      dx_ref, dw1_ref, dw2_ref, dw3_ref, dw4_ref, dw5_ref,
+                      dw11_ref, db_ref, im_ref, dim_ref, *,
+                      nf: int, gc: int, H: int, W: int, slope: float,
+                      res_scale: float):
+    """Adjoint of ``_rdb_t_kernel`` for one image; dW/db accumulate across the
+    batch grid (f32 output blocks revisited every step)."""
+    M = H * W
+    dt = x_ref.dtype
+    f32 = jnp.float32
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1) % W
+    mask_l = (col > 0).astype(dt)
+    mask_r = (col < W - 1).astype(dt)
+    mask_l32 = mask_l.astype(f32)
+    mask_r32 = mask_r.astype(f32)
+
+    def append_taps(src, row0: int, c: int):
+        for r in range(3):
+            for s in range(3):
+                shift = (r - 1) * W + (s - 1)
+                t = r * 3 + s
+                im_ref[row0 + t * c: row0 + (t + 1) * c, :] = _shifted(
+                    src, shift, mask_l, mask_r, s)
+
+    def untap(row0: int, c: int):
+        # adjoint of append_taps: forward is mask∘shift per tap, so the
+        # adjoint sums shift-back∘mask over the nine taps.
+        acc = jnp.zeros((c, M), f32)
+        for r in range(3):
+            for s in range(3):
+                shift = (r - 1) * W + (s - 1)
+                t = r * 3 + s
+                blk = dim_ref[row0 + t * c: row0 + (t + 1) * c, :]
+                if s == 0:
+                    blk = blk * mask_l32
+                elif s == 2:
+                    blk = blk * mask_r32
+                acc = acc + _lane_shift(blk, -shift)
+        return acc
+
+    def off9(k: int) -> int:
+        return 9 * (nf + (k - 1) * gc) if k else 0
+
+    bias = b_ref[:]
+
+    def boff(j: int) -> int:
+        return nf + (4 - j) * gc
+
+    def stage(k: int, w_ref, srows: int):
+        y = jnp.dot(w_ref[:], im_ref[0:off9(k), :],
+                    preferred_element_type=f32)
+        b = bias[boff(k):boff(k) + srows] if k < 5 else bias[0:srows]
+        return y + b
+
+    lrelu = lambda t: jnp.where(t >= 0, t, t * slope)
+    dlrelu = lambda m, t: jnp.where(m, t, t * slope)
+
+    # ---- forward recompute (identical to _rdb_t_kernel; keeps the lrelu
+    # sign masks, which the saved-rounded activations would also give since
+    # bf16 rounding preserves sign) ----
+    x = x_ref[0]
+    append_taps(x, 0, nf)
+    z1 = stage(1, w1, gc)
+    m1 = z1 >= 0
+    x1 = lrelu(z1).astype(dt)
+    append_taps(x1, off9(1), gc)
+    c11 = jnp.dot(w11[:], im_ref[4 * nf:5 * nf, :], preferred_element_type=f32)
+    z2 = stage(2, w2, gc)
+    m2 = z2 >= 0
+    x2 = (lrelu(z2) + c11).astype(dt)
+    append_taps(x2, off9(2), gc)
+    z3 = stage(3, w3, gc)
+    m3 = z3 >= 0
+    x3 = lrelu(z3).astype(dt)
+    append_taps(x3, off9(3), gc)
+    z4 = stage(4, w4, gc)
+    m4 = z4 >= 0
+    x4 = (lrelu(z4) + x2.astype(f32)).astype(dt)
+    append_taps(x4, off9(4), gc)
+    # (x5 / out are not needed by the adjoint)
+
+    # ---- adjoint ----
+    first = pl.program_id(0) == 0
+
+    def acc(ref, val):
+        @pl.when(first)
+        def _():
+            ref[...] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ref[...] = ref[...] + val
+
+    def dw(dzk, k):  # dW_k = dz_k · IM[0:K_k]ᵀ  — [S, M]·[M, K] on the MXU
+        return jax.lax.dot_general(dzk, im_ref[0:off9(k), :],
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def dim_add(wref, dzk, k, assign=False):
+        # dIM[0:K_k] (+)= W_kᵀ · dz_k — [K, S]·[S, M]
+        v = jax.lax.dot_general(wref[:], dzk, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+        if assign:
+            dim_ref[0:off9(k), :] = v
+        else:
+            dim_ref[0:off9(k), :] = dim_ref[0:off9(k), :] + v
+
+    g = g_ref[0].astype(f32)
+
+    # out = x5·β + x
+    dz5 = g * res_scale
+    dz5k = dz5.astype(dt)
+    acc(dw5_ref, dw(dz5k, 5))
+    dim_add(w5, dz5k, 5, assign=True)
+
+    # x4 = lrelu(z4) + x2 ; taps feed conv5 only
+    dx4 = untap(off9(4), gc)
+    dz4 = dlrelu(m4, dx4)
+    dz4k = dz4.astype(dt)
+    acc(dw4_ref, dw(dz4k, 4))
+    dim_add(w4, dz4k, 4)
+
+    # x3 = lrelu(z3)
+    dx3 = untap(off9(3), gc)
+    dz3 = dlrelu(m3, dx3)
+    dz3k = dz3.astype(dt)
+    acc(dw3_ref, dw(dz3k, 3))
+    dim_add(w3, dz3k, 3)
+
+    # x2 = lrelu(z2) + c11, plus the x4 += x2 residual
+    dx2 = untap(off9(2), gc) + dx4
+    dz2 = dlrelu(m2, dx2)
+    dz2k = dz2.astype(dt)
+    dx2k = dx2.astype(dt)
+    acc(dw2_ref, dw(dz2k, 2))
+    dim_add(w2, dz2k, 2)
+    # c11 = W11 · x (center tap)
+    acc(dw11_ref, jax.lax.dot_general(dx2k, x, (((1,), (1,)), ((), ())),
+                                      preferred_element_type=f32))
+    dx_c11 = jax.lax.dot_general(w11[:], dx2k, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=f32)
+
+    # x1 = lrelu(z1)
+    dx1 = untap(off9(1), gc)
+    dz1 = dlrelu(m1, dx1)
+    dz1k = dz1.astype(dt)
+    acc(dw1_ref, dw(dz1k, 1))
+    dim_add(w1, dz1k, 1)
+
+    # x: taps into every stage + conv1x1 center + the out residual
+    dx0 = untap(0, nf) + dx_c11 + g
+    dx_ref[0] = dx0.astype(dt)
+
+    # bias rows pack [b5 | b4 | b3 | b2 | b1] (see prepare_rdb_t_weights)
+    dbv = jnp.concatenate([
+        jnp.sum(dz5, axis=1, keepdims=True),
+        jnp.sum(dz4, axis=1, keepdims=True),
+        jnp.sum(dz3, axis=1, keepdims=True),
+        jnp.sum(dz2, axis=1, keepdims=True),
+        jnp.sum(dz1, axis=1, keepdims=True),
+    ], axis=0)
+    acc(db_ref, dbv)
+
+
+@functools.partial(jax.jit, static_argnames=("nf", "gc", "h", "w", "slope",
+                                             "res_scale", "interpret"))
+def _rdb_t_bwd(x, w1, w2, w3, w4, w5, w11, bias, g, *, nf: int, gc: int,
+               h: int, w: int, slope: float, res_scale: float,
+               interpret: bool = False):
+    bsz, cin, m = x.shape
+    ktot = 9 * (nf + 4 * gc)
+    kernel = functools.partial(_rdb_t_bwd_kernel, nf=nf, gc=gc, H=h, W=w,
+                               slope=slope, res_scale=res_scale)
+    vfull = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    img = lambda: pl.BlockSpec((1, nf, m), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out_shapes = (
+        jax.ShapeDtypeStruct((bsz, nf, m), x.dtype),          # dx
+        jax.ShapeDtypeStruct(w1.shape, f32),
+        jax.ShapeDtypeStruct(w2.shape, f32),
+        jax.ShapeDtypeStruct(w3.shape, f32),
+        jax.ShapeDtypeStruct(w4.shape, f32),
+        jax.ShapeDtypeStruct(w5.shape, f32),
+        jax.ShapeDtypeStruct(w11.shape, f32),
+        jax.ShapeDtypeStruct(bias.shape, f32),
+    )
+    out_specs = (img(),) + tuple(vfull(s.shape) for s in out_shapes[1:])
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            img(),
+            vfull(w1.shape), vfull(w2.shape), vfull(w3.shape),
+            vfull(w4.shape), vfull(w5.shape), vfull(w11.shape),
+            vfull(bias.shape),
+            img(),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((ktot, m), x.dtype),
+                        pltpu.VMEM((ktot, m), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, w2, w3, w4, w5, w11, bias, g)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_rdb_t_diff(nf: int, gc: int, h: int, w: int, slope: float,
+                     res_scale: float, interpret: bool):
+    @jax.custom_vjp
+    def f(x, w1, w2, w3, w4, w5, w11, bias):
+        kdt = x.dtype
+        ws = tuple(wi.astype(kdt) for wi in (w1, w2, w3, w4, w5, w11))
+        return rdb_t(x, *ws, bias, nf=nf, gc=gc, h=h, w=w, slope=slope,
+                     res_scale=res_scale, interpret=interpret)
+
+    def fwd(x, w1, w2, w3, w4, w5, w11, bias):
+        return f(x, w1, w2, w3, w4, w5, w11, bias), (
+            x, w1, w2, w3, w4, w5, w11, bias)
+
+    def bwd(res, g):
+        x, w1, w2, w3, w4, w5, w11, bias = res
+        kdt = x.dtype
+        ws = tuple(wi.astype(kdt) for wi in (w1, w2, w3, w4, w5, w11))
+        outs = _rdb_t_bwd(x, *ws, bias.astype(jnp.float32), g.astype(kdt),
+                          nf=nf, gc=gc, h=h, w=w, slope=slope,
+                          res_scale=res_scale, interpret=interpret)
+        dx, dw1, dw2, dw3, dw4, dw5, dw11, dbias = outs
+        grads = (dw1, dw2, dw3, dw4, dw5, dw11, dbias)
+        prim = (w1, w2, w3, w4, w5, w11, bias)
+        return (dx,) + tuple(dg.astype(p.dtype) for dg, p in zip(grads, prim))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def rdb_t_diff(x, w1, w2, w3, w4, w5, w11, bias, *, nf: int, gc: int, h: int,
+               w: int, slope: float = 0.2, res_scale: float = 0.2,
+               interpret: bool = False):
+    """Differentiable fused RDB: forward = :func:`rdb_t`, backward = a second
+    Pallas kernel. Pass weights in the master (f32) dtype — they are cast to
+    ``x.dtype`` for compute inside, and gradients come back in the master
+    dtype (f32 batch accumulation happens inside the kernel)."""
+    fn = _make_rdb_t_diff(nf, gc, h, w, slope, res_scale, interpret)
+    return fn(x, w1, w2, w3, w4, w5, w11, bias)

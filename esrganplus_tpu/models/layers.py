@@ -191,6 +191,38 @@ def gaussian_noise(x: jnp.ndarray, key, sigma: float, relative_detach: bool = Fa
     return x + jax.random.normal(key, x.shape, x.dtype) * scale
 
 
+def minibatch_std_concat(x: jnp.ndarray, averaging: str = "all") -> jnp.ndarray:
+    """PGGAN-style minibatch-stddev feature concat (reference
+    ``block.py:158-191``), NHWC.
+
+    Upstream this layer is dead code (never referenced by any network) and two
+    of its modes contain latent bugs (``flat`` calls a bare ``mean``; ``group``
+    reads the nonexistent ``self.shape``); implemented here for inventory
+    completeness with the four modes that actually work, using the reference's
+    ``sqrt(var + 1e-8)`` adjusted std over the batch axis.
+    """
+    averaging = averaging.lower()
+    std = jnp.sqrt(jnp.mean(
+        (x - jnp.mean(x, axis=0, keepdims=True)) ** 2, axis=0, keepdims=True)
+        + 1e-8)
+    n = x.shape[0]
+    if averaging == "all":
+        vals = jnp.mean(std, axis=-1, keepdims=True)          # [1, H, W, 1]
+    elif averaging == "spatial":
+        vals = jnp.mean(std, axis=(1, 2), keepdims=True)      # [1, 1, 1, C]
+    elif averaging == "none":
+        vals = std                                            # [1, H, W, C]
+    elif averaging == "gpool":
+        vals = jnp.mean(x, axis=(0, 1, 2), keepdims=True)     # [1, 1, 1, C]
+    else:
+        raise NotImplementedError(
+            f"minibatch_std averaging [{averaging}] (reference 'flat'/'group' "
+            "modes are broken upstream and intentionally unsupported)")
+    vals = jnp.broadcast_to(vals, (n,) + vals.shape[1:3] + (vals.shape[3],))
+    vals = jnp.broadcast_to(vals, (n, x.shape[1], x.shape[2], vals.shape[3]))
+    return jnp.concatenate([x, vals], axis=-1)
+
+
 def orthogonal_conv_init(key, kh: int, kw: int, cin: int, cout: int, gain: float = 1.0,
                          bias: bool = True, dtype=jnp.float32) -> Params:
     """Orthogonal conv init (reference ``networks.py:47-59`` variant): the

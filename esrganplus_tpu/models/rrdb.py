@@ -227,41 +227,76 @@ def _rrdb_forward(x, p: Params, cfg: RRDBNetConfig, key, train: bool, dtype):
 
 
 def _use_pallas_trunk(cfg: RRDBNetConfig, train: bool, dtype, h: int, w: int) -> bool:
-    if cfg.trunk_kernel == "xla" or train:
-        return False  # no custom VJP: training always runs the XLA graph
+    if cfg.trunk_kernel == "xla":
+        return False
     if cfg.trunk_kernel == "pallas":
         return True
-    # auto: bf16 eval on a real TPU backend, im2col working set within VMEM
+    # auto: bf16 on a real TPU backend, working set within VMEM. Training runs
+    # the custom-VJP pair (kernels/rdb_t.py): the backward additionally holds a
+    # f32 dIM scratch, hence the 3× estimate.
     if dtype != jnp.bfloat16 or jax.default_backend() == "cpu":
         return False
     im_bytes = 9 * (cfg.nf + 4 * cfg.gc) * h * w * 2
-    return im_bytes <= 96 * 1024 * 1024
+    return im_bytes * (3 if train else 1) <= 96 * 1024 * 1024
 
 
 def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
-                  dtype) -> jnp.ndarray:
-    """Run the nb-RRDB trunk through the fused transposed RDB kernel."""
-    from esrganplus_tpu.kernels.rdb_t import prepare_rdb_t_weights, rdb_t
+                  dtype, *, train: bool = False,
+                  block_keys=None) -> jnp.ndarray:
+    """Run the nb-RRDB trunk through the fused transposed RDB kernel.
+
+    Training uses the custom-VJP variant (weights crossing the boundary in
+    master f32 so gradients accumulate at full precision) and applies the
+    nESRGAN+ noise sites between kernel calls with the SAME key schedule and
+    NHWC draw order as the XLA path, so switching paths never changes the
+    noise realisation."""
+    from esrganplus_tpu.kernels.rdb_t import (prepare_rdb_t_weights, rdb_t,
+                                              rdb_t_diff)
 
     b, h, w, nf = fea.shape
     interp = jax.default_backend() == "cpu"
     kdt = dtype if dtype is not None else fea.dtype
+    wdt = jnp.float32 if train else kdt
 
     def prep(rdb_p):
-        return prepare_rdb_t_weights(rdb_p, cfg.nf, cfg.gc, cfg.conv1x1, dtype=kdt)
+        return prepare_rdb_t_weights(rdb_p, cfg.nf, cfg.gc, cfg.conv1x1, dtype=wdt)
 
     ws = {k: jax.vmap(prep)(trunk_params[k]) for k in ("rdb1", "rdb2", "rdb3")}
     xt = fea.astype(kdt).transpose(0, 3, 1, 2).reshape(b, nf, h * w)
+    noisy = train and cfg.noise_sigma > 0
+    if block_keys is None:
+        block_keys = jax.random.split(jax.random.PRNGKey(0), cfg.nb)
 
-    def body(hcur, ws3):
+    def apply_noise(ht, key):
+        n = jax.random.normal(key, (b, h, w, nf), ht.dtype)
+        nt = n.transpose(0, 3, 1, 2).reshape(b, nf, h * w)
+        scale = cfg.noise_sigma * (
+            jax.lax.stop_gradient(ht) if cfg.noise_relative_detach else ht)
+        return ht + nt * scale
+
+    kw = dict(nf=cfg.nf, gc=cfg.gc, h=h, w=w, slope=cfg.act_slope,
+              res_scale=cfg.res_scale, interpret=interp)
+
+    def body(hcur, xs):
+        ws3, key = xs
         h0 = hcur
-        for name in ("rdb1", "rdb2", "rdb3"):
-            hcur = rdb_t(hcur, *ws3[name], nf=cfg.nf, gc=cfg.gc, h=h, w=w,
-                         slope=cfg.act_slope, res_scale=cfg.res_scale,
-                         interpret=interp)
-        return hcur * jnp.asarray(cfg.res_scale, kdt) + h0, None
+        if not train:
+            # inference: fold the RRDB epilogue out·β + h0 into rdb3's kernel
+            hcur = rdb_t(hcur, *ws3["rdb1"], **kw)
+            hcur = rdb_t(hcur, *ws3["rdb2"], **kw)
+            return rdb_t(hcur, *ws3["rdb3"], h0, rrdb_scale=cfg.res_scale,
+                         **kw), None
+        ks = jax.random.split(key, 4)
+        for i, name in enumerate(("rdb1", "rdb2", "rdb3")):
+            hcur = rdb_t_diff(hcur, *ws3[name], **kw)
+            if noisy and cfg.rdb_noise:
+                hcur = apply_noise(hcur, ks[i])
+        out = hcur * jnp.asarray(cfg.res_scale, kdt) + h0
+        if noisy and cfg.rrdb_noise:
+            out = apply_noise(out, ks[3])
+        return out, None
 
-    out, _ = jax.lax.scan(body, xt, ws, unroll=cfg.unroll)
+    out, _ = jax.lax.scan(body, xt, (ws, block_keys), unroll=cfg.unroll)
     return out.reshape(b, nf, h, w).transpose(0, 2, 3, 1)
 
 
@@ -284,7 +319,8 @@ def rrdbnet_forward(params: Params, x: jnp.ndarray, cfg: RRDBNetConfig, *,
     fea = conv2d(x, params["fea_conv"], dtype=dtype)
 
     if _use_pallas_trunk(cfg, train, dtype, x.shape[1], x.shape[2]):
-        trunk = _trunk_pallas(params["trunk"], fea, cfg, dtype)
+        trunk = _trunk_pallas(params["trunk"], fea, cfg, dtype, train=train,
+                              block_keys=block_keys)
     else:
         def body(h, xs):
             block_params, key = xs

@@ -190,3 +190,24 @@ def test_discriminator_sn_parity():
     io = np.load(os.path.join(CACHE, "d_sn_io.npz"))
     logits, _ = discriminator_forward(params, jnp.asarray(_nchw(io["x"])), cfg, train=True)
     np.testing.assert_allclose(np.asarray(logits), io["y"], atol=1e-6)
+
+
+def test_minibatch_std_concat_modes():
+    """PGGAN minibatch-std concat (reference block.py:158-191, dead code
+    upstream): 'all' matches a direct recomputation; the other working modes
+    produce the documented shapes; broken upstream modes raise."""
+    from esrganplus_tpu.models.layers import minibatch_std_concat
+
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 6, 5, 8), jnp.float32)
+    out = minibatch_std_concat(x, "all")
+    assert out.shape == (4, 6, 5, 9)
+    np.testing.assert_allclose(np.asarray(out[..., :8]), np.asarray(x))
+    xn = np.asarray(x)
+    std = np.sqrt(((xn - xn.mean(0, keepdims=True)) ** 2).mean(0) + 1e-8)
+    np.testing.assert_allclose(np.asarray(out[0, ..., 8]), std.mean(-1),
+                               rtol=1e-6)
+    assert minibatch_std_concat(x, "spatial").shape == (4, 6, 5, 16)
+    assert minibatch_std_concat(x, "none").shape == (4, 6, 5, 16)
+    assert minibatch_std_concat(x, "gpool").shape == (4, 6, 5, 16)
+    with pytest.raises(NotImplementedError):
+        minibatch_std_concat(x, "flat")

@@ -5,6 +5,7 @@ import os
 import sys
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -178,3 +179,31 @@ def test_net_interp_blend():
     out = interpolate_state_dicts(sd_a, sd_b, 0.25)
     np.testing.assert_allclose(out["k"], 0.25)
     np.testing.assert_allclose(out["only_b"], 0.5)  # blended against zeros
+
+
+def test_sharded_evaluator_sft_side_input():
+    """SFT-GAN generators carry an HR-scale seg side input; the evaluator
+    shards both over the data axis (cli/train.py's sftgan val path)."""
+    import functools
+
+    from esrganplus_tpu.infer import ShardedEvaluator
+    from esrganplus_tpu.models.sft import SFTNetConfig, init_sftnet, sftnet_forward
+    from esrganplus_tpu.parallel import make_mesh
+
+    cfg = SFTNetConfig(nf=8, nb=1, cond_nf=4)
+    params = init_sftnet(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(data=8, devices=jax.devices()[:8])
+    ev = ShardedEvaluator(cfg, mesh,
+                          fwd_fn=functools.partial(sftnet_forward, cfg=cfg),
+                          side_scale=cfg.upscale)
+    rng = np.random.RandomState(3)
+    imgs = [rng.rand(16, 8, 3).astype(np.float32) for _ in range(5)]
+    segs = [rng.rand(64, 32, 8).astype(np.float32) for _ in range(5)]
+    outs = ev.upscale_batch(params, imgs, sides=segs)
+    assert ev.calls == 1
+    for img, seg, out in zip(imgs, segs, outs):
+        want = np.clip(np.asarray(
+            sftnet_forward(params, jnp.asarray(img[None]),
+                           jnp.asarray(seg[None]), cfg))[0], 0.0, 1.0)
+        assert out.shape == want.shape
+        np.testing.assert_allclose(out, want, atol=1e-5)

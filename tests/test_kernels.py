@@ -65,6 +65,66 @@ def test_rdb_t_kernel_matches_xla_rdb():
     assert float(jnp.abs(out - ref).max()) < 1e-4
 
 
+def test_rdb_t_diff_grads_match_xla():
+    # custom-VJP kernel pair: grads wrt the raw param dict and the input must
+    # match the XLA reference graph (f32, interpret mode; nonuniform cotangent
+    # via sin so every adjoint path is exercised).
+    from esrganplus_tpu.kernels.rdb_t import prepare_rdb_t_weights, rdb_t_diff
+
+    nf, gc, B, H, W = 16, 8, 2, 10, 14
+    cfg = RRDBNetConfig(nf=nf, gc=gc)
+    p = _rand_rdb_params(nf, gc, key=7)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (B, H, W, nf), jnp.float32)
+
+    def loss_pallas(p, x):
+        ws = prepare_rdb_t_weights(p, nf, gc, True, dtype=jnp.float32)
+        xt = x.transpose(0, 3, 1, 2).reshape(B, nf, H * W)
+        out = rdb_t_diff(xt, *ws, nf=nf, gc=gc, h=H, w=W, interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_xla(p, x):
+        out = _rdb_forward(x, p, cfg, jax.random.PRNGKey(0), False, None)
+        return jnp.sum(jnp.sin(out))
+
+    (vp, gp) = jax.value_and_grad(loss_pallas, argnums=(0, 1))(p, x)
+    (vx, gx) = jax.value_and_grad(loss_xla, argnums=(0, 1))(p, x)
+    # the loss is a sum over 4480 elements — compare relatively
+    assert abs(float(vp - vx)) / abs(float(vx)) < 1e-5
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(gp)
+    flat_x, _ = jax.tree_util.tree_flatten_with_path(gx)
+    for (path, a), (_, b) in zip(flat_p, flat_x):
+        err = float(jnp.abs(a - b).max())
+        scale = float(jnp.abs(b).max()) + 1e-6
+        assert err / scale < 1e-4, (path, err, scale)
+
+
+def test_rrdbnet_pallas_train_grads_match_xla():
+    # full train-mode model: pallas trunk (custom VJP + noise between kernel
+    # calls) vs the XLA trunk — same noise keys, so values AND grads agree.
+    import dataclasses
+
+    from esrganplus_tpu.models import init_rrdbnet, rrdbnet_forward
+
+    cfg_p = RRDBNetConfig(nf=16, nb=2, gc=8, trunk_kernel="pallas",
+                          noise_sigma=0.1)
+    cfg_x = dataclasses.replace(cfg_p, trunk_kernel="xla", fused=False)
+    params = init_rrdbnet(jax.random.PRNGKey(0), cfg_p)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 3), jnp.float32)
+    rng = jax.random.PRNGKey(3)
+
+    def loss(params, cfg):
+        out = rrdbnet_forward(params, x, cfg, train=True, rng=rng)
+        return jnp.mean(jnp.abs(out - 0.5))
+
+    vp, gp = jax.value_and_grad(loss)(params, cfg_p)
+    vx, gx = jax.value_and_grad(loss)(params, cfg_x)
+    assert abs(float(vp - vx)) < 1e-5
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        err = float(jnp.abs(a - b).max())
+        scale = float(jnp.abs(b).max()) + 1e-6
+        assert err / scale < 1e-3, (err, scale)
+
+
 def test_rrdbnet_pallas_trunk_matches_xla():
     # full-model integration: trunk_kernel='pallas' (interpret on CPU) must
     # reproduce the XLA trunk including RRDB residuals and the upconv tail.
