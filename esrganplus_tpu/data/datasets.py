@@ -118,6 +118,16 @@ class LRHRDataset:
             assert len(self.paths_lr) == len(self.paths_hr), (
                 f"HR/LR length mismatch: {len(self.paths_hr)} vs {len(self.paths_lr)}")
 
+        # Opt-in decoded-image RAM cache: PNG decode dominates __getitem__ for
+        # crop training, and every epoch re-decodes the same files. Capped by
+        # cache_images_gb (stop inserting once full — crop/augment never
+        # mutate the cached arrays, so sharing is safe). The byte counter is
+        # updated without a lock: concurrent workers may overshoot the cap by
+        # a few images, which is harmless.
+        self._cache = {} if opt.get("cache_images") else None
+        self._cache_cap = int(float(opt.get("cache_images_gb", 4.0)) * 1e9)
+        self._cache_bytes = 0
+
     def __len__(self) -> int:
         return len(self.paths_hr)
 
@@ -129,9 +139,16 @@ class LRHRDataset:
         return rlt
 
     def _read(self, reader, paths, idx):
-        if reader is not None:
-            return reader.read(paths[idx])
-        return read_img(paths[idx])
+        key = (paths is self.paths_lr, idx) if self._cache is not None else None
+        if key is not None:
+            hit = self._cache.get(key)
+            if hit is not None:
+                return hit
+        img = reader.read(paths[idx]) if reader is not None else read_img(paths[idx])
+        if key is not None and self._cache_bytes + img.nbytes <= self._cache_cap:
+            self._cache[key] = img
+            self._cache_bytes += img.nbytes
+        return img
 
     def __getitem__(self, idx: int) -> Dict:
         scale = self.scale

@@ -5,9 +5,9 @@ intermediate through HBM and pays lane-rotate assembly around 32-channel
 tensors; measured 1.26 ms/RDB on v5e (batch 8 @128²) vs a 0.32 ms MXU roofline.
 This kernel computes the WHOLE dense block in VMEM in a *transposed* layout
 chosen from first principles for this hardware (measured on-chip, see
-NOTES_ROUND2.md):
+NOTES_ROUND3.md):
 
-  * activations live as ``[C, M]`` with M = H·W **pixels in the lane
+  * activations live as ``[C, M]`` with M = n_img·H·W **pixels in the lane
     dimension** — lanes are the TPU's 128-wide axis, and pixels are the one
     dimension that never pads (channels here are 32/64, which waste 75%/50%
     of every lane tile in the NHWC layout);
@@ -19,12 +19,21 @@ NOTES_ROUND2.md):
     streams S=32/64 rows, and M fills lanes exactly — measured ~212 TF/s on
     these shapes (vs ~65 TF/s for the by-source orientation);
   * SAME zero padding is exact *without halo*: tap copies are lane-shifts with
-    zero fill at the array ends (row overflow) and an iota mask on the two
-    column-crossing taps (column overflow), so every intermediate matches the
-    reference's per-conv zero padding bit-for-bit in bf16;
-  * grid = batch; weights (one RDB ≈ 0.5 MB bf16) stay resident; the only HBM
-    traffic per image is the [nf, M] input/output pair (DMA'd by Mosaic's
-    automatic grid pipelining).
+    zero fill at the array ends plus iota masks at image-boundary-crossing
+    lanes, so every intermediate matches the reference's per-conv zero padding
+    bit-for-bit in bf16;
+  * **multiple images can pack into the lane axis per grid step**
+    (``[nf, P·H·W]`` blocks, ``pack`` argument) with row-crossing taps masked
+    per image (masks elided at P=1 where array-end zero fill suffices).
+    MEASURED OUTCOME (v5e, 2026-08-16): packing does NOT pay — the default
+    stays P=1. At training shapes (batch 16 of 32² crops) the full PSNR step
+    ran 39.1 ms at P=1 vs 43.5 ms auto-packed (fwd 16 / bwd 4): Mosaic's
+    automatic grid pipelining (DMA of step i+1 overlapped with compute of
+    step i) is worth more than fewer grid launches, and per-launch overhead
+    is small. The machinery stays for explicit use at other shapes;
+  * weights (one RDB ≈ 0.5 MB bf16) stay resident; the only HBM traffic per
+    step is the [nf, P·M_img] input/output pair (DMA'd by Mosaic's automatic
+    grid pipelining).
 
 Numerics mirror the XLA bf16 path: MXU accumulates f32, each stage output is
 rounded to bf16 (as XLA's bf16-emitting convs do), β=0.2 residual scaling and
@@ -35,7 +44,7 @@ whose backward is a second Pallas kernel (``_rdb_t_bwd_kernel``): it
 rematerialises the im2col buffer (cheaper than saving 5 intermediates to HBM),
 then runs the adjoint as the same by-target dots transposed — ``dW_k = dz_k ·
 IMᵀ`` and ``dIM += W_kᵀ · dz_k`` — with the tap-append adjoint expressed as
-reverse lane-shifts. dW accumulates across the batch grid in f32 output blocks
+reverse lane-shifts. dW accumulates across the grid in f32 output blocks
 revisited every step, so master-precision gradients leave the kernel directly
 (weights cross the custom_vjp boundary in f32 and are cast to the compute
 dtype inside).
@@ -50,6 +59,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
 
 
 def prepare_rdb_t_weights(p: dict, nf: int, gc: int, conv1x1: bool,
@@ -94,40 +104,56 @@ def _lane_shift(src, shift: int):
     return src
 
 
-def _shifted(src, shift: int, mask_l, mask_r, s: int):
-    """Lane-shift with zero fill, masked at row-crossing columns for the
-    s=0 / s=2 taps."""
-    out = _lane_shift(src, shift)
-    if s == 0:
-        out = out * mask_l
-    elif s == 2:
-        out = out * mask_r
-    return out
+def _tap_masks(M: int, m_img: int, W: int, dtype, packed: bool):
+    """Per-tap boundary masks, [1, M] in ``dtype`` (None = no mask needed).
+
+    Column-crossing taps (s=0/2) always mask; row-crossing taps (r=0/2) only
+    when several images share the lane axis (``packed``) — with one image per
+    grid step the array-end zero fill of :func:`_lane_shift` already zeroes
+    the out-of-image rows.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    pos = lane % m_img
+    col = pos % W
+    parts = {
+        "l": col > 0,
+        "r": col < W - 1,
+        "t": (pos >= W) if packed else None,
+        "b": (pos < m_img - W) if packed else None,
+    }
+    masks = {}
+    for r in range(3):
+        for s in range(3):
+            m = None
+            for key in (("t" if r == 0 else "b" if r == 2 else None),
+                        ("l" if s == 0 else "r" if s == 2 else None)):
+                if key is not None and parts[key] is not None:
+                    m = parts[key] if m is None else (m & parts[key])
+            masks[(r, s)] = None if m is None else m.astype(dtype)
+    return masks
 
 
 def _rdb_t_kernel(x_ref, w1, w2, w3, w4, w5, w11, b_ref, *rest,
-                  nf: int, gc: int, H: int, W: int, slope: float,
+                  nf: int, gc: int, H: int, W: int, pack: int, slope: float,
                   res_scale: float, rrdb_scale: Optional[float] = None):
     if rrdb_scale is not None:
         res_ref, o_ref, im_ref = rest
     else:
         o_ref, im_ref = rest
-    M = H * W
+    M = pack * H * W
     dt = x_ref.dtype
 
-    # column masks, built once: tap s=0 reads j-1 (invalid at j=0), s=2 reads
-    # j+1 (invalid at j=W-1). Lane index = i·W + j.
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1) % W
-    mask_l = (col > 0).astype(dt)
-    mask_r = (col < W - 1).astype(dt)
+    masks = _tap_masks(M, H * W, W, dt, packed=pack > 1)
 
     def append_taps(src, row0: int, c: int):
         for r in range(3):
             for s in range(3):
                 shift = (r - 1) * W + (s - 1)
                 t = r * 3 + s
-                im_ref[row0 + t * c: row0 + (t + 1) * c, :] = _shifted(
-                    src, shift, mask_l, mask_r, s)
+                v = _lane_shift(src, shift)
+                if masks[(r, s)] is not None:
+                    v = v * masks[(r, s)]
+                im_ref[row0 + t * c: row0 + (t + 1) * c, :] = v
 
     def off9(k: int) -> int:  # IM row offset where source k's taps start
         return 9 * (nf + (k - 1) * gc) if k else 0
@@ -148,7 +174,7 @@ def _rdb_t_kernel(x_ref, w1, w2, w3, w4, w5, w11, b_ref, *rest,
     # leakyrelu in f32 (Mosaic rejects bf16 comparisons on this target)
     lrelu = lambda t: jnp.where(t >= 0, t, t * slope)
 
-    x = x_ref[0]                                   # [nf, M]
+    x = x_ref[:]                                   # [nf, M]
     append_taps(x, 0, nf)
 
     x1 = lrelu(stage(1, w1, gc)).astype(dt)
@@ -173,32 +199,38 @@ def _rdb_t_kernel(x_ref, w1, w2, w3, w4, w5, w11, b_ref, *rest,
         # folded RRDB epilogue: this RDB is the third in its RRDB, so apply
         # the block-level β and residual here instead of an XLA add
         # (reference block.py:287-291) — saves an HBM round-trip per RRDB.
-        out = out * rrdb_scale + res_ref[0].astype(jnp.float32)
-    o_ref[0] = out.astype(dt)
+        out = out * rrdb_scale + res_ref[:].astype(jnp.float32)
+    o_ref[:] = out.astype(dt)
 
 
-@functools.partial(jax.jit, static_argnames=("nf", "gc", "h", "w", "slope",
-                                             "res_scale", "rrdb_scale",
-                                             "interpret"))
+@functools.partial(jax.jit, static_argnames=("nf", "gc", "h", "w", "n_img",
+                                             "pack", "slope", "res_scale",
+                                             "rrdb_scale", "interpret"))
 def rdb_t(x, w1, w2, w3, w4, w5, w11, bias, res=None, *, nf: int, gc: int,
-          h: int, w: int, slope: float = 0.2, res_scale: float = 0.2,
+          h: int, w: int, n_img: int = 1, pack: Optional[int] = None,
+          slope: float = 0.2, res_scale: float = 0.2,
           rrdb_scale: Optional[float] = None, interpret: bool = False):
-    """Fused transposed RDB forward: x ``[B, nf, H·W]`` bf16 → same shape.
+    """Fused transposed RDB forward: x ``[nf, n_img·H·W]`` (image-major lanes)
+    → same shape.
 
     Weights from :func:`prepare_rdb_t_weights`. With ``rrdb_scale``/``res``
     set, the RRDB epilogue ``out·β + res`` is folded into the kernel (use on
-    the third RDB of each RRDB).
+    the third RDB of each RRDB). ``pack`` groups several images per grid step
+    (default 1 — measured best; see module docstring).
     """
-    bsz, cin, m = x.shape
-    assert cin == nf and m == h * w, (x.shape, nf, h, w)
-    assert (res is None) == (rrdb_scale is None)
+    cin, mtot = x.shape
+    m_img = h * w
+    assert cin == nf and mtot == n_img * m_img, (x.shape, nf, n_img, h, w)
     ktot = 9 * (nf + 4 * gc)
+    if pack is None:
+        pack = 1  # measured best default — see module docstring
+    assert n_img % pack == 0, (n_img, pack)
     kernel = functools.partial(_rdb_t_kernel, nf=nf, gc=gc, H=h, W=w,
-                               slope=slope, res_scale=res_scale,
+                               pack=pack, slope=slope, res_scale=res_scale,
                                rrdb_scale=rrdb_scale)
-    vfull = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+    vfull = lambda shape: pl.BlockSpec(shape, lambda g: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    img = lambda: pl.BlockSpec((1, nf, m), lambda b: (b, 0, 0),
+    img = lambda: pl.BlockSpec((nf, pack * m_img), lambda g: (0, g),
                                memory_space=pltpu.VMEM)
     in_specs = [
         img(),
@@ -208,15 +240,18 @@ def rdb_t(x, w1, w2, w3, w4, w5, w11, bias, res=None, *, nf: int, gc: int,
     ]
     args = [x, w1, w2, w3, w4, w5, w11, bias]
     if res is not None:
+        assert rrdb_scale is not None
         in_specs.append(img())
         args.append(res)
+    else:
+        assert rrdb_scale is None
     return pl.pallas_call(
         kernel,
-        grid=(bsz,),
+        grid=(n_img // pack,),
         in_specs=in_specs,
         out_specs=img(),
-        out_shape=jax.ShapeDtypeStruct((bsz, nf, m), x.dtype),
-        scratch_shapes=[pltpu.VMEM((ktot, m), x.dtype)],
+        out_shape=jax.ShapeDtypeStruct((nf, mtot), x.dtype),
+        scratch_shapes=[pltpu.VMEM((ktot, pack * m_img), x.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
@@ -231,27 +266,27 @@ def rdb_t(x, w1, w2, w3, w4, w5, w11, bias, res=None, *, nf: int, gc: int,
 def _rdb_t_bwd_kernel(x_ref, w1, w2, w3, w4, w5, w11, b_ref, g_ref,
                       dx_ref, dw1_ref, dw2_ref, dw3_ref, dw4_ref, dw5_ref,
                       dw11_ref, db_ref, im_ref, dim_ref, *,
-                      nf: int, gc: int, H: int, W: int, slope: float,
-                      res_scale: float):
-    """Adjoint of ``_rdb_t_kernel`` for one image; dW/db accumulate across the
-    batch grid (f32 output blocks revisited every step)."""
-    M = H * W
+                      nf: int, gc: int, H: int, W: int, pack: int,
+                      slope: float, res_scale: float):
+    """Adjoint of ``_rdb_t_kernel`` for one image group; dW/db accumulate
+    across the grid (f32 output blocks revisited every step)."""
+    M = pack * H * W
     dt = x_ref.dtype
     f32 = jnp.float32
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1) % W
-    mask_l = (col > 0).astype(dt)
-    mask_r = (col < W - 1).astype(dt)
-    mask_l32 = mask_l.astype(f32)
-    mask_r32 = mask_r.astype(f32)
+    masks = _tap_masks(M, H * W, W, dt, packed=pack > 1)
+    masks32 = {k: (None if v is None else v.astype(f32))
+               for k, v in masks.items()}
 
     def append_taps(src, row0: int, c: int):
         for r in range(3):
             for s in range(3):
                 shift = (r - 1) * W + (s - 1)
                 t = r * 3 + s
-                im_ref[row0 + t * c: row0 + (t + 1) * c, :] = _shifted(
-                    src, shift, mask_l, mask_r, s)
+                v = _lane_shift(src, shift)
+                if masks[(r, s)] is not None:
+                    v = v * masks[(r, s)]
+                im_ref[row0 + t * c: row0 + (t + 1) * c, :] = v
 
     def untap(row0: int, c: int):
         # adjoint of append_taps: forward is mask∘shift per tap, so the
@@ -262,10 +297,8 @@ def _rdb_t_bwd_kernel(x_ref, w1, w2, w3, w4, w5, w11, b_ref, g_ref,
                 shift = (r - 1) * W + (s - 1)
                 t = r * 3 + s
                 blk = dim_ref[row0 + t * c: row0 + (t + 1) * c, :]
-                if s == 0:
-                    blk = blk * mask_l32
-                elif s == 2:
-                    blk = blk * mask_r32
+                if masks32[(r, s)] is not None:
+                    blk = blk * masks32[(r, s)]
                 acc = acc + _lane_shift(blk, -shift)
         return acc
 
@@ -289,7 +322,7 @@ def _rdb_t_bwd_kernel(x_ref, w1, w2, w3, w4, w5, w11, b_ref, g_ref,
     # ---- forward recompute (identical to _rdb_t_kernel; keeps the lrelu
     # sign masks, which the saved-rounded activations would also give since
     # bf16 rounding preserves sign) ----
-    x = x_ref[0]
+    x = x_ref[:]
     append_taps(x, 0, nf)
     z1 = stage(1, w1, gc)
     m1 = z1 >= 0
@@ -336,7 +369,7 @@ def _rdb_t_bwd_kernel(x_ref, w1, w2, w3, w4, w5, w11, b_ref, g_ref,
         else:
             dim_ref[0:off9(k), :] = dim_ref[0:off9(k), :] + v
 
-    g = g_ref[0].astype(f32)
+    g = g_ref[:].astype(f32)
 
     # out = x5·β + x
     dz5 = g * res_scale
@@ -380,7 +413,7 @@ def _rdb_t_bwd_kernel(x_ref, w1, w2, w3, w4, w5, w11, b_ref, g_ref,
 
     # x: taps into every stage + conv1x1 center + the out residual
     dx0 = untap(0, nf) + dx_c11 + g
-    dx_ref[0] = dx0.astype(dt)
+    dx_ref[:] = dx0.astype(dt)
 
     # bias rows pack [b5 | b4 | b3 | b2 | b1] (see prepare_rdb_t_weights)
     dbv = jnp.concatenate([
@@ -393,22 +426,27 @@ def _rdb_t_bwd_kernel(x_ref, w1, w2, w3, w4, w5, w11, b_ref, g_ref,
     acc(db_ref, dbv)
 
 
-@functools.partial(jax.jit, static_argnames=("nf", "gc", "h", "w", "slope",
-                                             "res_scale", "interpret"))
+@functools.partial(jax.jit, static_argnames=("nf", "gc", "h", "w", "n_img",
+                                             "pack", "slope", "res_scale",
+                                             "interpret"))
 def _rdb_t_bwd(x, w1, w2, w3, w4, w5, w11, bias, g, *, nf: int, gc: int,
-               h: int, w: int, slope: float, res_scale: float,
-               interpret: bool = False):
-    bsz, cin, m = x.shape
+               h: int, w: int, n_img: int, pack: Optional[int] = None,
+               slope: float, res_scale: float, interpret: bool = False):
+    cin, mtot = x.shape
+    m_img = h * w
     ktot = 9 * (nf + 4 * gc)
+    if pack is None:
+        pack = 1  # measured best default — see module docstring
+    assert n_img % pack == 0, (n_img, pack)
     kernel = functools.partial(_rdb_t_bwd_kernel, nf=nf, gc=gc, H=h, W=w,
-                               slope=slope, res_scale=res_scale)
-    vfull = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                               pack=pack, slope=slope, res_scale=res_scale)
+    vfull = lambda shape: pl.BlockSpec(shape, lambda g: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    img = lambda: pl.BlockSpec((1, nf, m), lambda b: (b, 0, 0),
+    img = lambda: pl.BlockSpec((nf, pack * m_img), lambda g: (0, g),
                                memory_space=pltpu.VMEM)
     f32 = jnp.float32
     out_shapes = (
-        jax.ShapeDtypeStruct((bsz, nf, m), x.dtype),          # dx
+        jax.ShapeDtypeStruct((nf, mtot), x.dtype),            # dx
         jax.ShapeDtypeStruct(w1.shape, f32),
         jax.ShapeDtypeStruct(w2.shape, f32),
         jax.ShapeDtypeStruct(w3.shape, f32),
@@ -420,7 +458,7 @@ def _rdb_t_bwd(x, w1, w2, w3, w4, w5, w11, bias, g, *, nf: int, gc: int,
     out_specs = (img(),) + tuple(vfull(s.shape) for s in out_shapes[1:])
     return pl.pallas_call(
         kernel,
-        grid=(bsz,),
+        grid=(n_img // pack,),
         in_specs=[
             img(),
             vfull(w1.shape), vfull(w2.shape), vfull(w3.shape),
@@ -430,8 +468,8 @@ def _rdb_t_bwd(x, w1, w2, w3, w4, w5, w11, bias, g, *, nf: int, gc: int,
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((ktot, m), x.dtype),
-                        pltpu.VMEM((ktot, m), f32)],
+        scratch_shapes=[pltpu.VMEM((ktot, pack * m_img), x.dtype),
+                        pltpu.VMEM((ktot, pack * m_img), f32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
@@ -439,14 +477,16 @@ def _rdb_t_bwd(x, w1, w2, w3, w4, w5, w11, bias, g, *, nf: int, gc: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_rdb_t_diff(nf: int, gc: int, h: int, w: int, slope: float,
-                     res_scale: float, interpret: bool):
+def _make_rdb_t_diff(nf: int, gc: int, h: int, w: int, n_img: int,
+                     pack, bwd_pack, slope: float, res_scale: float,
+                     interpret: bool):
     @jax.custom_vjp
     def f(x, w1, w2, w3, w4, w5, w11, bias):
         kdt = x.dtype
         ws = tuple(wi.astype(kdt) for wi in (w1, w2, w3, w4, w5, w11))
-        return rdb_t(x, *ws, bias, nf=nf, gc=gc, h=h, w=w, slope=slope,
-                     res_scale=res_scale, interpret=interpret)
+        return rdb_t(x, *ws, bias, nf=nf, gc=gc, h=h, w=w, n_img=n_img,
+                     pack=pack, slope=slope, res_scale=res_scale,
+                     interpret=interpret)
 
     def fwd(x, w1, w2, w3, w4, w5, w11, bias):
         return f(x, w1, w2, w3, w4, w5, w11, bias), (
@@ -457,8 +497,16 @@ def _make_rdb_t_diff(nf: int, gc: int, h: int, w: int, slope: float,
         kdt = x.dtype
         ws = tuple(wi.astype(kdt) for wi in (w1, w2, w3, w4, w5, w11))
         outs = _rdb_t_bwd(x, *ws, bias.astype(jnp.float32), g.astype(kdt),
-                          nf=nf, gc=gc, h=h, w=w, slope=slope,
-                          res_scale=res_scale, interpret=interpret)
+                          nf=nf, gc=gc, h=h, w=w, n_img=n_img, pack=bwd_pack,
+                          slope=slope, res_scale=res_scale,
+                          interpret=interpret)
+        # Barrier: without it XLA fuses this pallas call with lax.scan's
+        # gradient-stacking dynamic-update-slice into one kCustom fusion and
+        # then applies the default 16 MB scoped-vmem limit to the WHOLE
+        # fusion, rejecting the kernel's (legitimate, CompilerParams-raised)
+        # VMEM working set. Measured on v5e 2026-08-16; standalone compiles
+        # of the same kernel are fine.
+        outs = jax.lax.optimization_barrier(outs)
         dx, dw1, dw2, dw3, dw4, dw5, dw11, dbias = outs
         grads = (dw1, dw2, dw3, dw4, dw5, dw11, dbias)
         prim = (w1, w2, w3, w4, w5, w11, bias)
@@ -469,11 +517,16 @@ def _make_rdb_t_diff(nf: int, gc: int, h: int, w: int, slope: float,
 
 
 def rdb_t_diff(x, w1, w2, w3, w4, w5, w11, bias, *, nf: int, gc: int, h: int,
-               w: int, slope: float = 0.2, res_scale: float = 0.2,
-               interpret: bool = False):
+               w: int, n_img: int = 1, pack: Optional[int] = None,
+               bwd_pack: Optional[int] = None, slope: float = 0.2,
+               res_scale: float = 0.2, interpret: bool = False):
     """Differentiable fused RDB: forward = :func:`rdb_t`, backward = a second
     Pallas kernel. Pass weights in the master (f32) dtype — they are cast to
     ``x.dtype`` for compute inside, and gradients come back in the master
-    dtype (f32 batch accumulation happens inside the kernel)."""
-    fn = _make_rdb_t_diff(nf, gc, h, w, slope, res_scale, interpret)
+    dtype (f32 batch accumulation happens inside the kernel).
+
+    ``pack``/``bwd_pack`` override the per-grid-step image packing of the
+    forward/backward kernels (None = auto)."""
+    fn = _make_rdb_t_diff(nf, gc, h, w, n_img, pack, bwd_pack, slope,
+                          res_scale, interpret)
     return fn(x, w1, w2, w3, w4, w5, w11, bias)

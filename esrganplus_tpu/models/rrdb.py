@@ -262,19 +262,21 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
         return prepare_rdb_t_weights(rdb_p, cfg.nf, cfg.gc, cfg.conv1x1, dtype=wdt)
 
     ws = {k: jax.vmap(prep)(trunk_params[k]) for k in ("rdb1", "rdb2", "rdb3")}
-    xt = fea.astype(kdt).transpose(0, 3, 1, 2).reshape(b, nf, h * w)
+    # image-major lane packing [nf, B·H·W] — the kernel groups as many images
+    # per grid step as VMEM allows (whole batch at training crop sizes)
+    xt = fea.astype(kdt).transpose(3, 0, 1, 2).reshape(nf, b * h * w)
     noisy = train and cfg.noise_sigma > 0
     if block_keys is None:
         block_keys = jax.random.split(jax.random.PRNGKey(0), cfg.nb)
 
     def apply_noise(ht, key):
         n = jax.random.normal(key, (b, h, w, nf), ht.dtype)
-        nt = n.transpose(0, 3, 1, 2).reshape(b, nf, h * w)
+        nt = n.transpose(3, 0, 1, 2).reshape(nf, b * h * w)
         scale = cfg.noise_sigma * (
             jax.lax.stop_gradient(ht) if cfg.noise_relative_detach else ht)
         return ht + nt * scale
 
-    kw = dict(nf=cfg.nf, gc=cfg.gc, h=h, w=w, slope=cfg.act_slope,
+    kw = dict(nf=cfg.nf, gc=cfg.gc, h=h, w=w, n_img=b, slope=cfg.act_slope,
               res_scale=cfg.res_scale, interpret=interp)
 
     def body(hcur, xs):
@@ -297,7 +299,7 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
         return out, None
 
     out, _ = jax.lax.scan(body, xt, (ws, block_keys), unroll=cfg.unroll)
-    return out.reshape(b, nf, h, w).transpose(0, 2, 3, 1)
+    return out.reshape(nf, b, h, w).transpose(1, 2, 3, 0)
 
 
 def rrdbnet_forward(params: Params, x: jnp.ndarray, cfg: RRDBNetConfig, *,

@@ -67,6 +67,9 @@ class GANTrainConfig:
     gp_weight: float = 10.0
     vgg_path: Optional[str] = None
     compute_dtype: Optional[str] = None
+    # noise-site PRNG: 'threefry' (bitwise-reproducible) | 'rbg' (hardware
+    # RngBitGenerator, measurably cheaper per step — see train/rng.py)
+    noise_prng: str = "threefry"
     init_scale_g: float = 0.1
     init_scale_d: float = 1.0
 
@@ -187,7 +190,10 @@ class GANTrainer:
     def _step(self, state, batch, rng):
         cfg = self.cfg
         lr_img, hr_img = batch
+        from esrganplus_tpu.train.rng import noise_key
+
         rng_noise, rng_gp = jax.random.split(jax.random.fold_in(rng, state["step"]))
+        rng_noise = noise_key(rng_noise, self.cfg.noise_prng)
         f_params = state.get("f_params")
         # 1-based iteration number — the reference's current_step.
         gstep = state["step"] + 1

@@ -37,6 +37,9 @@ class SRTrainConfig:
     grad_clip: Optional[float] = None
     compute_dtype: Optional[str] = None  # None (fp32) | 'bfloat16'
     init_scale: float = 0.1
+    # 'threefry' (bitwise-reproducible keys, default) | 'rbg' (XLA hardware
+    # RngBitGenerator — measured 6.3 ms/step cheaper on v5e; see train/rng.py)
+    noise_prng: str = "threefry"
 
 
 def pixel_loss(pred, target, criterion: str):
@@ -118,9 +121,12 @@ class SRTrainer:
         return l_pix, fake
 
     def _step(self, state, batch, rng):
+        from esrganplus_tpu.train.rng import noise_key
+
         lr_img, hr_img = batch
         # fresh noise every optimizer step even when the caller reuses one key
-        rng = jax.random.fold_in(rng, state["step"])
+        rng = noise_key(jax.random.fold_in(rng, state["step"]),
+                        self.train_cfg.noise_prng)
         # 1-based iteration number — the reference's current_step (train.py
         # increments before update_learning_rate/optimize_parameters).
         gstep = state["step"] + 1

@@ -48,9 +48,12 @@ def _rand_rdb_params(nf, gc, key=0):
     return p
 
 
-def test_rdb_t_kernel_matches_xla_rdb():
+@pytest.mark.parametrize("pack", [1, 2])
+def test_rdb_t_kernel_matches_xla_rdb(pack):
     # the production transposed RDB kernel (kernels/rdb_t.py): exact zero-pad
-    # semantics incl. row/column edges — H != W catches axis mixups.
+    # semantics incl. row/column edges — H != W catches axis mixups. pack=2
+    # packs both images into ONE grid step (exercising the inter-image
+    # boundary masks); pack=1 the per-image grid (array-end zero fill).
     from esrganplus_tpu.kernels.rdb_t import prepare_rdb_t_weights, rdb_t
 
     nf, gc, B, H, W = 16, 8, 2, 10, 14
@@ -59,9 +62,10 @@ def test_rdb_t_kernel_matches_xla_rdb():
     x = jax.random.uniform(jax.random.PRNGKey(1), (B, H, W, nf), jnp.float32)
     ref = _rdb_forward(x, p, cfg, jax.random.PRNGKey(0), False, None)
     ws = prepare_rdb_t_weights(p, nf, gc, True, dtype=jnp.float32)
-    xt = x.transpose(0, 3, 1, 2).reshape(B, nf, H * W)
-    out = rdb_t(xt, *ws, nf=nf, gc=gc, h=H, w=W, interpret=True)
-    out = out.reshape(B, nf, H, W).transpose(0, 2, 3, 1)
+    xt = x.transpose(3, 0, 1, 2).reshape(nf, B * H * W)
+    out = rdb_t(xt, *ws, nf=nf, gc=gc, h=H, w=W, n_img=B, pack=pack,
+                interpret=True)
+    out = out.reshape(nf, B, H, W).transpose(1, 2, 3, 0)
     assert float(jnp.abs(out - ref).max()) < 1e-4
 
 
@@ -78,8 +82,9 @@ def test_rdb_t_diff_grads_match_xla():
 
     def loss_pallas(p, x):
         ws = prepare_rdb_t_weights(p, nf, gc, True, dtype=jnp.float32)
-        xt = x.transpose(0, 3, 1, 2).reshape(B, nf, H * W)
-        out = rdb_t_diff(xt, *ws, nf=nf, gc=gc, h=H, w=W, interpret=True)
+        xt = x.transpose(3, 0, 1, 2).reshape(nf, B * H * W)
+        out = rdb_t_diff(xt, *ws, nf=nf, gc=gc, h=H, w=W, n_img=B,
+                         interpret=True)
         return jnp.sum(jnp.sin(out))
 
     def loss_xla(p, x):

@@ -165,3 +165,44 @@ def test_train_loader_batches(img_root):
 def test_collate():
     out = collate([{"a": np.zeros((2, 2)), "p": "x"}, {"a": np.ones((2, 2)), "p": "y"}])
     assert out["a"].shape == (2, 2, 2) and out["p"] == ["x", "y"]
+
+
+def test_lrhr_dataset_image_cache(img_root, monkeypatch):
+    """cache_images: decode once per file, serve identical samples after."""
+    import esrganplus_tpu.data.datasets as ds_mod
+
+    hr_dir, lr_dir = img_root
+    calls = {"n": 0}
+    real = ds_mod.read_img
+
+    def counting(path):
+        calls["n"] += 1
+        return real(path)
+
+    monkeypatch.setattr(ds_mod, "read_img", counting)
+    opt = {
+        "mode": "LRHR", "phase": "train", "scale": 4, "HR_size": 32,
+        "dataroot_HR": hr_dir, "dataroot_LR": lr_dir,
+        "use_flip": False, "use_rot": False, "seed": 3,
+        "cache_images": True,
+    }
+    ds = create_dataset(opt)
+    first = [ds[i] for i in range(4)]
+    assert calls["n"] == 8  # 4 HR + 4 LR decodes
+    again = [ds[i] for i in range(4)]
+    assert calls["n"] == 8  # all cache hits
+    for a, b in zip(first, again):
+        # same seed stream differs per call, so compare the underlying images
+        assert a["HR_path"] == b["HR_path"]
+    # uncached dataset re-decodes every epoch
+    ds2 = create_dataset({**opt, "cache_images": False})
+    calls["n"] = 0
+    _ = [ds2[i] for i in range(4)]
+    _ = [ds2[i] for i in range(4)]
+    assert calls["n"] == 16
+
+    # cap: a tiny budget stops inserting but never breaks reads
+    ds3 = create_dataset({**opt, "cache_images_gb": 1e-9})
+    s0 = ds3[0]
+    s1 = ds3[0]
+    assert s0["HR"].shape == s1["HR"].shape
