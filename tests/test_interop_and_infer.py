@@ -70,6 +70,9 @@ def test_x8_ensemble_matches_independent_enumeration(small_inferencer):
     got = small_inferencer.upscale_x8(img)
     assert got.shape == want.shape
     assert np.abs(got - want).max() < 1e-5
+    # the 2-batched-forwards grouping must equal per-variant dispatch
+    got_seq = small_inferencer.upscale_x8(img, batched=False)
+    assert np.abs(got - got_seq).max() < 1e-6
 
 
 def test_x8_ensemble_shape_nonsquare(small_inferencer):
