@@ -1,0 +1,359 @@
+"""Pallas TPU kernel: ESRGAN+ ResidualDenseBlock_5C, column-merged variant.
+
+Same transposed ``[C, pixels-in-lanes]`` layout as :mod:`rdb_t`, but the 3×3
+conv is decomposed differently to fix the MXU's *output-row* utilisation:
+
+  * :mod:`rdb_t` materialises all nine tap-shifted copies in the im2col
+    buffer and runs one ``[S, 9·C] @ [9·C, M]`` dot per stage. K packs ≥90%
+    of its 128-tiles, but the output row count S is the dense-stage width —
+    32 (64 for conv5) — so 75% (50%) of every MXU output tile is padding.
+    Measured marginal dot throughput at those shapes: ~51-87 TF/s (v5e).
+  * here the im2col buffer holds only the three ROW-shifted copies of each
+    source (``3·C`` rows instead of ``9·C``), and the three COLUMN taps move
+    to the output side: stage k computes ``Y = W' @ IM3`` with
+    ``W' = [W(s=0); W(s=1); W(s=2)]`` stacked along the output rows —
+    ``S' = 3·S`` (96 / 192) — then combines ``y = Σ_s shift(Y_s, s-1)·mask_s``
+    with two lane-shifts and two boundary masks on S-row tensors (cheap VPU
+    work). Lane shifts commute with the channel contraction, and the
+    post-shift column masks reproduce the reference's SAME zero padding
+    exactly, as in rdb_t.
+  * the ESRGAN+ 1×1 shortcut rides free: stage 2's output rows grow from 96
+    to exactly 128 (one full MXU tile) with ``gc`` extra rows that hold W11
+    against the x-center-row K columns — the 1×1 conv costs zero extra MXU
+    passes.
+
+Measured (v5e, batch 16 of 128², bf16): 0.86 ms/RDB vs rdb_t's 1.29 —
+forward throughput bench 38.9 → 47.7 MPix/s/chip. Marginal dot rates at the
+new shapes: 113-156 TF/s (vs 51-87 for the rdb_t shapes; probe in
+NOTES_ROUND3.md).
+
+Numerics: identical contraction sets as rdb_t, accumulated in f32 on the MXU
+and rounded to bf16 at each stage output exactly where the XLA bf16 path
+rounds; the only difference is the order the three column-tap partial sums
+enter the f32 accumulation (within bf16-parity tolerances; see
+tests/test_rdb_ct.py).
+
+Reference graph: ``codes/models/modules/block.py:232-268`` (RDB_5C; the
+β=0.2 residual, 1×1 shortcut and x4+=x2 are preserved bit-for-bit in
+structure); RRDB epilogue fold per ``block.py:287-291``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from esrganplus_tpu.kernels.rdb_t import _lane_shift
+
+
+def prepare_rdb_ct_weights(p: dict, nf: int, gc: int, conv1x1: bool,
+                           dtype=jnp.bfloat16):
+    """RDB params → per-stage column-merged weight matrices.
+
+    Returns (w1..w5, bias): w_k ``[3·S_k (+gc for k=2), 3·C_prefix_k]`` with
+    output rows in column-tap-major / target-channel order and K columns in
+    source-major / row-tap-major / channel order (the order the kernel grows
+    its IM3 buffer in); stage 2 carries ``gc`` extra rows holding the 1×1
+    shortcut weights against x's center-row columns (zeros when ``conv1x1``
+    is off — the rows pad the MXU tile either way). bias ``[nf + 4·gc, 1]``
+    packs (b5 | b4 | b3 | b2 | b1) as in :func:`rdb_t.prepare_rdb_t_weights`.
+    """
+    def wk(k):
+        w = p[f"conv{k}"]["w"]  # [3, 3, C_prefix, S]
+        cp, s = w.shape[2], w.shape[3]
+        srcs = [nf] + [gc] * ((cp - nf) // gc)
+        blocks, off = [], 0
+        for c in srcs:
+            blk = w[:, :, off:off + c, :]          # [r, s, c, S]
+            blk = blk.transpose(1, 3, 0, 2)        # [s, S, r, c]
+            blocks.append(blk.reshape(3 * s, 3 * c))
+            off += c
+        out = jnp.concatenate(blocks, 1)           # [3·S, 3·C_prefix]
+        if k == 2:
+            # 1×1 shortcut rows: nonzero only at x's center-row columns.
+            extra = jnp.zeros((gc, out.shape[1]), out.dtype)
+            if conv1x1:
+                w11 = p["conv1x1"]["w"][0, 0].T    # [gc, nf]
+                extra = jax.lax.dynamic_update_slice(extra, w11, (0, nf))
+            out = jnp.concatenate([out, extra], 0)  # [3·gc + gc, ·]
+        return out.astype(dtype)
+
+    bias = jnp.concatenate(
+        [p["conv5"]["b"]] + [p[f"conv{t}"]["b"] for t in (4, 3, 2, 1)]
+    ).astype(jnp.float32).reshape(-1, 1)
+    return wk(1), wk(2), wk(3), wk(4), wk(5), bias
+
+
+def _col_masks(M: int, W: int, dtype):
+    """Post-shift column-boundary masks [1, M]: l = output col > 0 (for the
+    s=0 tap), r = output col < W-1 (for the s=2 tap)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    col = lane % W
+    return (col > 0).astype(dtype), (col < W - 1).astype(dtype)
+
+
+def _row_masks(M: int, m_img: int, W: int, dtype, packed: bool):
+    """Pre-write row-boundary masks for the IM3 row taps (packed mode only —
+    at one image per grid step the array-end zero fill suffices)."""
+    if not packed:
+        return {0: None, 1: None, 2: None}
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, M), 1)
+    pos = lane % m_img
+    return {
+        0: (pos >= W).astype(dtype),          # r=0 reads src[m−W]: needs a row above
+        1: None,
+        2: (pos < m_img - W).astype(dtype),   # r=2 reads src[m+W]: needs a row below
+    }
+
+
+def _rdb_ct_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
+                   nf: int, gc: int, H: int, W: int, pack: int, slope: float,
+                   res_scale: float, rrdb_scale: Optional[float] = None,
+                   split_dots: bool = True):
+    if rrdb_scale is not None:
+        res_ref, o_ref, im_ref = rest
+    else:
+        o_ref, im_ref = rest
+    M = pack * H * W
+    dt = x_ref.dtype
+    f32 = jnp.float32
+
+    maskl, maskr = _col_masks(M, W, f32)
+    # IM3 row taps: tap r holds lane_shift(src, (r-1)·W) = source pixel one
+    # row below (r=2) / same (r=1) / one row above (r=0)… n.b. shift>0 pulls
+    # from HIGHER lane index. Row-crossing validity in packed mode:
+    rmask = _row_masks(M, H * W, W, dt, packed=pack > 1)
+
+    def append3(src, row0: int, c: int):
+        for r in range(3):
+            v = _lane_shift(src, (r - 1) * W)
+            if rmask[r] is not None:
+                v = v * rmask[r]
+            im_ref[row0 + r * c: row0 + (r + 1) * c, :] = v
+
+    def off3(k: int) -> int:
+        return 3 * (nf + (k - 1) * gc) if k else 0
+
+    bias = b_ref[:]
+
+    def boff(j: int) -> int:
+        return nf + (4 - j) * gc
+
+    def stage_b(j: int, srows: int):
+        return bias[boff(j):boff(j) + srows] if j < 5 else bias[0:srows]
+
+    def combine(Y, s_out: int):
+        # y = shift(Y0,-1)·l + Y1 + shift(Y2,+1)·r  (post-shift masks)
+        return (_lane_shift(Y[0:s_out], -1) * maskl
+                + Y[s_out:2 * s_out]
+                + _lane_shift(Y[2 * s_out:3 * s_out], 1) * maskr)
+
+    def full_dot(w_ref, k: int):
+        return jnp.dot(w_ref[:], im_ref[0:off3(k), :],
+                       preferred_element_type=f32)
+
+    def prefix_dot(w_ref, k: int):
+        # rows already in IM3 before the latest source's taps — independent
+        # of that source, so it can issue while the VPU appends (split_dots).
+        return jnp.dot(w_ref[:][:, 0:off3(k - 1)], im_ref[0:off3(k - 1), :],
+                       preferred_element_type=f32)
+
+    def fresh_dot(w_ref, k: int):
+        return jnp.dot(w_ref[:][:, off3(k - 1):off3(k)],
+                       im_ref[off3(k - 1):off3(k), :],
+                       preferred_element_type=f32)
+
+    lrelu = lambda t: jnp.where(t >= 0, t, t * slope)
+
+    x = x_ref[:]  # [nf, M]
+
+    if split_dots:
+        append3(x, 0, nf)
+        x1 = lrelu(combine(full_dot(w1, 1), gc) + stage_b(1, gc)).astype(dt)
+        y2 = prefix_dot(w2, 2)
+        append3(x1, off3(1), gc)
+        Y2 = y2 + fresh_dot(w2, 2)
+        x2 = (lrelu(combine(Y2, gc) + stage_b(2, gc))
+              + Y2[3 * gc:4 * gc]).astype(dt)
+        y3 = prefix_dot(w3, 3)
+        append3(x2, off3(2), gc)
+        x3 = lrelu(combine(y3 + fresh_dot(w3, 3), gc)
+                   + stage_b(3, gc)).astype(dt)
+        y4 = prefix_dot(w4, 4)
+        append3(x3, off3(3), gc)
+        x4 = (lrelu(combine(y4 + fresh_dot(w4, 4), gc) + stage_b(4, gc))
+              + x2.astype(f32)).astype(dt)
+        y5 = prefix_dot(w5, 5)
+        append3(x4, off3(4), gc)
+        x5 = combine(y5 + fresh_dot(w5, 5), nf) + stage_b(5, nf)
+    else:
+        append3(x, 0, nf)
+        x1 = lrelu(combine(full_dot(w1, 1), gc) + stage_b(1, gc)).astype(dt)
+        append3(x1, off3(1), gc)
+        Y2 = full_dot(w2, 2)                       # [4·gc, M]: 3 taps + c11
+        x2 = (lrelu(combine(Y2, gc) + stage_b(2, gc))
+              + Y2[3 * gc:4 * gc]).astype(dt)
+        append3(x2, off3(2), gc)
+        x3 = lrelu(combine(full_dot(w3, 3), gc) + stage_b(3, gc)).astype(dt)
+        append3(x3, off3(3), gc)
+        x4 = (lrelu(combine(full_dot(w4, 4), gc) + stage_b(4, gc))
+              + x2.astype(f32)).astype(dt)
+        append3(x4, off3(4), gc)
+        x5 = combine(full_dot(w5, 5), nf) + stage_b(5, nf)
+
+    out = x5 * res_scale + x.astype(f32)
+    if rrdb_scale is not None:
+        out = out * rrdb_scale + res_ref[:].astype(f32)
+    o_ref[:] = out.astype(dt)
+
+
+def _rdb_ct_pipe_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
+                        nf: int, gc: int, H: int, W: int, il: int,
+                        slope: float, res_scale: float,
+                        rrdb_scale: Optional[float] = None):
+    """``il``-image software-pipelined variant: each grid step holds ``il``
+    independent images; every stage emits ALL images' dots (MXU) before any
+    image's combine/append (VPU), so Mosaic's scheduler can run image B's
+    stage-k dot while image A's stage-k tap-append is still on the VPU. This
+    is where the serial-dependency stall of the one-image kernel goes
+    (measured v5e: 1.15 → 0.86 ms/RDB at il=2, batch 16 of 128²)."""
+    if rrdb_scale is not None:
+        res_ref, o_ref, im_ref = rest
+    else:
+        o_ref, im_ref = rest
+    m = H * W
+    dt = x_ref.dtype
+    f32 = jnp.float32
+
+    maskl, maskr = _col_masks(m, W, f32)
+
+    def im(i):  # this image's IM3 lane window
+        return slice(i * m, (i + 1) * m)
+
+    def append3(i, src, row0: int, c: int):
+        for r in range(3):
+            v = _lane_shift(src, (r - 1) * W)
+            im_ref[row0 + r * c: row0 + (r + 1) * c, im(i)] = v
+
+    def off3(k: int) -> int:
+        return 3 * (nf + (k - 1) * gc) if k else 0
+
+    bias = b_ref[:]
+
+    def boff(j: int) -> int:
+        return nf + (4 - j) * gc
+
+    def stage_b(j: int, srows: int):
+        return bias[boff(j):boff(j) + srows] if j < 5 else bias[0:srows]
+
+    def combine(Y, s_out: int):
+        return (_lane_shift(Y[0:s_out], -1) * maskl
+                + Y[s_out:2 * s_out]
+                + _lane_shift(Y[2 * s_out:3 * s_out], 1) * maskr)
+
+    def dot(i, w_ref, k: int):
+        return jnp.dot(w_ref[:], im_ref[0:off3(k), im(i)],
+                       preferred_element_type=f32)
+
+    lrelu = lambda t: jnp.where(t >= 0, t, t * slope)
+
+    R = range(il)
+    xs = [x_ref[:, im(i)] for i in R]
+    for i in R:
+        append3(i, xs[i], 0, nf)
+    Y = [dot(i, w1, 1) for i in R]
+    x1 = [lrelu(combine(Y[i], gc) + stage_b(1, gc)).astype(dt) for i in R]
+    for i in R:
+        append3(i, x1[i], off3(1), gc)
+    Y = [dot(i, w2, 2) for i in R]
+    x2 = [(lrelu(combine(Y[i], gc) + stage_b(2, gc))
+           + Y[i][3 * gc:4 * gc]).astype(dt) for i in R]
+    for i in R:
+        append3(i, x2[i], off3(2), gc)
+    Y = [dot(i, w3, 3) for i in R]
+    x3 = [lrelu(combine(Y[i], gc) + stage_b(3, gc)).astype(dt) for i in R]
+    for i in R:
+        append3(i, x3[i], off3(3), gc)
+    Y = [dot(i, w4, 4) for i in R]
+    x4 = [(lrelu(combine(Y[i], gc) + stage_b(4, gc))
+           + x2[i].astype(f32)).astype(dt) for i in R]
+    for i in R:
+        append3(i, x4[i], off3(4), gc)
+    Y = [dot(i, w5, 5) for i in R]
+    for i in R:
+        out = (combine(Y[i], nf) + stage_b(5, nf)) * res_scale \
+            + xs[i].astype(f32)
+        if rrdb_scale is not None:
+            out = out * rrdb_scale + res_ref[:, im(i)].astype(f32)
+        o_ref[:, im(i)] = out.astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("nf", "gc", "h", "w", "n_img",
+                                             "pack", "slope", "res_scale",
+                                             "rrdb_scale", "split_dots",
+                                             "interleave", "interpret"))
+def rdb_ct(x, w1, w2, w3, w4, w5, bias, res=None, *, nf: int, gc: int,
+           h: int, w: int, n_img: int = 1, pack: Optional[int] = None,
+           slope: float = 0.2, res_scale: float = 0.2,
+           rrdb_scale: Optional[float] = None, split_dots: bool = True,
+           interleave: Optional[int] = None, interpret: bool = False):
+    """Column-merged fused RDB forward: x ``[nf, n_img·H·W]`` → same shape.
+
+    Weights from :func:`prepare_rdb_ct_weights`. ``interleave`` > 1 selects
+    the software-pipelined multi-image kernel (``_rdb_ct_pipe_kernel``) —
+    mutually exclusive with ``pack`` > 1. Other args as :func:`rdb_t.rdb_t`.
+    """
+    cin, mtot = x.shape
+    m_img = h * w
+    assert cin == nf and mtot == n_img * m_img, (x.shape, nf, n_img, h, w)
+    ktot = 3 * (nf + 4 * gc)
+    if pack is None:
+        pack = 1
+    if interleave is None:
+        interleave = 1
+    assert pack == 1 or interleave == 1, (pack, interleave)
+    assert n_img % (pack * interleave) == 0, (n_img, pack, interleave)
+    if interleave > 1:
+        kernel = functools.partial(_rdb_ct_pipe_kernel, nf=nf, gc=gc, H=h,
+                                   W=w, il=interleave, slope=slope,
+                                   res_scale=res_scale,
+                                   rrdb_scale=rrdb_scale)
+        pack = interleave  # block/grid sizing below is shared
+    else:
+        kernel = functools.partial(_rdb_ct_kernel, nf=nf, gc=gc, H=h, W=w,
+                                   pack=pack, slope=slope,
+                                   res_scale=res_scale,
+                                   rrdb_scale=rrdb_scale,
+                                   split_dots=split_dots)
+    vfull = lambda shape: pl.BlockSpec(shape, lambda g: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    img = lambda: pl.BlockSpec((nf, pack * m_img), lambda g: (0, g),
+                               memory_space=pltpu.VMEM)
+    in_specs = [
+        img(),
+        vfull(w1.shape), vfull(w2.shape), vfull(w3.shape),
+        vfull(w4.shape), vfull(w5.shape), vfull(bias.shape),
+    ]
+    args = [x, w1, w2, w3, w4, w5, bias]
+    if res is not None:
+        assert rrdb_scale is not None
+        in_specs.append(img())
+        args.append(res)
+    else:
+        assert rrdb_scale is None
+    return pl.pallas_call(
+        kernel,
+        grid=(n_img // pack,),
+        in_specs=in_specs,
+        out_specs=img(),
+        out_shape=jax.ShapeDtypeStruct((nf, mtot), x.dtype),
+        scratch_shapes=[pltpu.VMEM((ktot, pack * m_img), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)

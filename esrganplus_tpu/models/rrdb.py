@@ -233,11 +233,16 @@ def _use_pallas_trunk(cfg: RRDBNetConfig, train: bool, dtype, h: int, w: int) ->
         return True
     # auto: bf16 on a real TPU backend, working set within VMEM. Training runs
     # the custom-VJP pair (kernels/rdb_t.py): the backward additionally holds a
-    # f32 dIM scratch, hence the 3× estimate.
+    # f32 dIM scratch, hence the 3× estimate. Inference runs the column-merged
+    # kernel (kernels/rdb_ct.py) whose IM3 buffer is 3× smaller; its largest
+    # f32 transient is the stage-5 [3·nf, M] partial.
     if dtype != jnp.bfloat16 or jax.default_backend() == "cpu":
         return False
-    im_bytes = 9 * (cfg.nf + 4 * cfg.gc) * h * w * 2
-    return im_bytes * (3 if train else 1) <= 96 * 1024 * 1024
+    if train:
+        im_bytes = 9 * (cfg.nf + 4 * cfg.gc) * h * w * 2
+        return im_bytes * 3 <= 96 * 1024 * 1024
+    im3_bytes = 3 * (cfg.nf + 4 * cfg.gc) * h * w * 2 + 3 * cfg.nf * h * w * 4
+    return im3_bytes <= 96 * 1024 * 1024
 
 
 def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
@@ -250,7 +255,8 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
     nESRGAN+ noise sites between kernel calls with the SAME key schedule and
     NHWC draw order as the XLA path, so switching paths never changes the
     noise realisation."""
-    from esrganplus_tpu.kernels.rdb_t import (prepare_rdb_t_weights, rdb_t,
+    from esrganplus_tpu.kernels.rdb_ct import prepare_rdb_ct_weights, rdb_ct
+    from esrganplus_tpu.kernels.rdb_t import (prepare_rdb_t_weights,
                                               rdb_t_diff)
 
     b, h, w, nf = fea.shape
@@ -259,7 +265,11 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
     wdt = jnp.float32 if train else kdt
 
     def prep(rdb_p):
-        return prepare_rdb_t_weights(rdb_p, cfg.nf, cfg.gc, cfg.conv1x1, dtype=wdt)
+        if train:
+            return prepare_rdb_t_weights(rdb_p, cfg.nf, cfg.gc, cfg.conv1x1,
+                                         dtype=wdt)
+        return prepare_rdb_ct_weights(rdb_p, cfg.nf, cfg.gc, cfg.conv1x1,
+                                      dtype=wdt)
 
     ws = {k: jax.vmap(prep)(trunk_params[k]) for k in ("rdb1", "rdb2", "rdb3")}
     # image-major lane packing [nf, B·H·W] — the kernel groups as many images
@@ -278,16 +288,21 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
 
     kw = dict(nf=cfg.nf, gc=cfg.gc, h=h, w=w, n_img=b, slope=cfg.act_slope,
               res_scale=cfg.res_scale, interpret=interp)
+    # inference: software-pipeline two images per grid step when the batch
+    # and VMEM allow (kernels/rdb_ct.py — measured best on v5e)
+    il = 2 if (b % 2 == 0 and
+               2 * 3 * (cfg.nf + 4 * cfg.gc) * h * w * 2 +
+               2 * 3 * cfg.nf * h * w * 4 <= 96 * 1024 * 1024) else 1
 
     def body(hcur, xs):
         ws3, key = xs
         h0 = hcur
         if not train:
             # inference: fold the RRDB epilogue out·β + h0 into rdb3's kernel
-            hcur = rdb_t(hcur, *ws3["rdb1"], **kw)
-            hcur = rdb_t(hcur, *ws3["rdb2"], **kw)
-            return rdb_t(hcur, *ws3["rdb3"], h0, rrdb_scale=cfg.res_scale,
-                         **kw), None
+            hcur = rdb_ct(hcur, *ws3["rdb1"], interleave=il, **kw)
+            hcur = rdb_ct(hcur, *ws3["rdb2"], interleave=il, **kw)
+            return rdb_ct(hcur, *ws3["rdb3"], h0, rrdb_scale=cfg.res_scale,
+                          interleave=il, **kw), None
         ks = jax.random.split(key, 4)
         for i, name in enumerate(("rdb1", "rdb2", "rdb3")):
             hcur = rdb_t_diff(hcur, *ws3[name], **kw)

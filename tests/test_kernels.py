@@ -69,6 +69,74 @@ def test_rdb_t_kernel_matches_xla_rdb(pack):
     assert float(jnp.abs(out - ref).max()) < 1e-4
 
 
+@pytest.mark.parametrize("mode", [("pack", 1), ("pack", 2),
+                                  ("interleave", 2), ("nosplit", 1)])
+def test_rdb_ct_kernel_matches_xla_rdb(mode):
+    # the column-merged RDB kernel (kernels/rdb_ct.py): 3 row taps in IM3,
+    # column taps merged into the dot's output rows and combined with
+    # post-shift masks. Covers the packed row-boundary masks (pack=2), the
+    # software-pipelined multi-image variant (interleave=2), and both dot
+    # orders. H != W catches axis mixups.
+    from esrganplus_tpu.kernels.rdb_ct import prepare_rdb_ct_weights, rdb_ct
+
+    kind, val = mode
+    nf, gc, B, H, W = 16, 8, 2, 10, 14
+    cfg = RRDBNetConfig(nf=nf, gc=gc)
+    p = _rand_rdb_params(nf, gc, key=5)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (B, H, W, nf), jnp.float32)
+    ref = _rdb_forward(x, p, cfg, jax.random.PRNGKey(0), False, None)
+    ws = prepare_rdb_ct_weights(p, nf, gc, True, dtype=jnp.float32)
+    xt = x.transpose(3, 0, 1, 2).reshape(nf, B * H * W)
+    kw = dict(nf=nf, gc=gc, h=H, w=W, n_img=B, interpret=True)
+    if kind == "pack":
+        out = rdb_ct(xt, *ws, pack=val, **kw)
+    elif kind == "interleave":
+        out = rdb_ct(xt, *ws, interleave=val, **kw)
+    else:
+        out = rdb_ct(xt, *ws, split_dots=False, **kw)
+    out = out.reshape(nf, B, H, W).transpose(1, 2, 3, 0)
+    assert float(jnp.abs(out - ref).max()) < 1e-4
+
+
+def test_rdb_ct_epilogue_fold():
+    # rrdb_scale/res fold (RRDB out·β + h0, reference block.py:287-291) in the
+    # interleaved kernel — the combination the inference trunk actually runs.
+    from esrganplus_tpu.kernels.rdb_ct import prepare_rdb_ct_weights, rdb_ct
+
+    nf, gc, B, H, W = 16, 8, 2, 10, 14
+    cfg = RRDBNetConfig(nf=nf, gc=gc)
+    p = _rand_rdb_params(nf, gc, key=9)
+    x = jax.random.uniform(jax.random.PRNGKey(3), (B, H, W, nf), jnp.float32)
+    res = jax.random.uniform(jax.random.PRNGKey(4), (B, H, W, nf), jnp.float32)
+    ref = _rdb_forward(x, p, cfg, jax.random.PRNGKey(0), False, None) * 0.2 + res
+    ws = prepare_rdb_ct_weights(p, nf, gc, True, dtype=jnp.float32)
+    tr = lambda a: a.transpose(3, 0, 1, 2).reshape(nf, B * H * W)
+    out = rdb_ct(tr(x), *ws, tr(res), nf=nf, gc=gc, h=H, w=W, n_img=B,
+                 rrdb_scale=0.2, interleave=2, interpret=True)
+    out = out.reshape(nf, B, H, W).transpose(1, 2, 3, 0)
+    assert float(jnp.abs(out - ref).max()) < 1e-4
+
+
+def test_rdb_ct_no_conv1x1():
+    # vanilla-ESRGAN RDB graph: the 1×1 shortcut rows are zeros (MXU tile
+    # padding either way) and x2 must come out without the shortcut term.
+    import dataclasses
+
+    from esrganplus_tpu.kernels.rdb_ct import prepare_rdb_ct_weights, rdb_ct
+
+    nf, gc, B, H, W = 16, 8, 2, 10, 14
+    cfg = RRDBNetConfig(nf=nf, gc=gc, conv1x1=False)
+    p = _rand_rdb_params(nf, gc, key=11)
+    p = {k: v for k, v in p.items() if k != "conv1x1"}
+    x = jax.random.uniform(jax.random.PRNGKey(5), (B, H, W, nf), jnp.float32)
+    ref = _rdb_forward(x, p, cfg, jax.random.PRNGKey(0), False, None)
+    ws = prepare_rdb_ct_weights(p, nf, gc, False, dtype=jnp.float32)
+    xt = x.transpose(3, 0, 1, 2).reshape(nf, B * H * W)
+    out = rdb_ct(xt, *ws, nf=nf, gc=gc, h=H, w=W, n_img=B, interpret=True)
+    out = out.reshape(nf, B, H, W).transpose(1, 2, 3, 0)
+    assert float(jnp.abs(out - ref).max()) < 1e-4
+
+
 def test_rdb_t_diff_grads_match_xla():
     # custom-VJP kernel pair: grads wrt the raw param dict and the input must
     # match the XLA reference graph (f32, interpret mode; nonuniform cotangent
