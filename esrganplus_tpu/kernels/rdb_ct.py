@@ -357,3 +357,270 @@ def rdb_ct(x, w1, w2, w3, w4, w5, bias, res=None, *, nf: int, gc: int,
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+
+
+# ---------------------------------------------------------------------------
+# backward (training)
+# ---------------------------------------------------------------------------
+
+
+def _rdb_ct_bwd_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, g_ref,
+                       dx_ref, dw1_ref, dw2_ref, dw3_ref, dw4_ref, dw5_ref,
+                       db_ref, im_ref, dim_ref, *,
+                       nf: int, gc: int, H: int, W: int, pack: int,
+                       slope: float, res_scale: float):
+    """Adjoint of ``_rdb_ct_kernel`` for one image group; dW/db accumulate
+    across the grid (f32 output blocks revisited every step). Same structure
+    as ``rdb_t._rdb_t_bwd_kernel`` but in the column-merged decomposition:
+    the combine's adjoint scatters the cotangent into the three column-tap
+    row groups (two masked lane-shifts), ``dW'_k = dY'_k · IM3ᵀ`` emits
+    3·S rows per MXU pass instead of S, and the tap-append adjoint sums
+    three reverse row-shifts instead of nine."""
+    M = pack * H * W
+    dt = x_ref.dtype
+    f32 = jnp.float32
+
+    maskl, maskr = _col_masks(M, W, f32)
+    rmask = _row_masks(M, H * W, W, dt, packed=pack > 1)
+    rmask32 = {k: (None if v is None else v.astype(f32))
+               for k, v in rmask.items()}
+
+    def append3(src, row0: int, c: int):
+        for r in range(3):
+            v = _lane_shift(src, (r - 1) * W)
+            if rmask[r] is not None:
+                v = v * rmask[r]
+            im_ref[row0 + r * c: row0 + (r + 1) * c, :] = v
+
+    def untap3(row0: int, c: int):
+        acc = jnp.zeros((c, M), f32)
+        for r in range(3):
+            blk = dim_ref[row0 + r * c: row0 + (r + 1) * c, :]
+            if rmask32[r] is not None:
+                blk = blk * rmask32[r]
+            acc = acc + _lane_shift(blk, -(r - 1) * W)
+        return acc
+
+    def off3(k: int) -> int:
+        return 3 * (nf + (k - 1) * gc) if k else 0
+
+    bias = b_ref[:]
+
+    def boff(j: int) -> int:
+        return nf + (4 - j) * gc
+
+    def stage_b(j: int, srows: int):
+        return bias[boff(j):boff(j) + srows] if j < 5 else bias[0:srows]
+
+    def combine(Y, s_out: int):
+        return (_lane_shift(Y[0:s_out], -1) * maskl
+                + Y[s_out:2 * s_out]
+                + _lane_shift(Y[2 * s_out:3 * s_out], 1) * maskr)
+
+    def combine_adj(dy):
+        # y = shift(Y0,-1)·l + Y1 + shift(Y2,+1)·r  ⇒
+        # dY0 = shift(dy·l, +1), dY1 = dy, dY2 = shift(dy·r, −1)
+        return jnp.concatenate([
+            _lane_shift(dy * maskl, 1), dy, _lane_shift(dy * maskr, -1)], 0)
+
+    def full_dot(w_ref, k: int):
+        return jnp.dot(w_ref[:], im_ref[0:off3(k), :],
+                       preferred_element_type=f32)
+
+    lrelu = lambda t: jnp.where(t >= 0, t, t * slope)
+    dlrelu = lambda m, t: jnp.where(m, t, t * slope)
+
+    # ---- forward recompute (same math/rounding as _rdb_ct_kernel) ----
+    x = x_ref[:]
+    append3(x, 0, nf)
+    z1 = combine(full_dot(w1, 1), gc) + stage_b(1, gc)
+    m1 = z1 >= 0
+    x1 = lrelu(z1).astype(dt)
+    append3(x1, off3(1), gc)
+    Y2 = full_dot(w2, 2)
+    z2 = combine(Y2, gc) + stage_b(2, gc)
+    m2 = z2 >= 0
+    x2 = (lrelu(z2) + Y2[3 * gc:4 * gc]).astype(dt)
+    append3(x2, off3(2), gc)
+    z3 = combine(full_dot(w3, 3), gc) + stage_b(3, gc)
+    m3 = z3 >= 0
+    x3 = lrelu(z3).astype(dt)
+    append3(x3, off3(3), gc)
+    z4 = combine(full_dot(w4, 4), gc) + stage_b(4, gc)
+    m4 = z4 >= 0
+    x4 = (lrelu(z4) + x2.astype(f32)).astype(dt)
+    append3(x4, off3(4), gc)
+    # (x5 / out are not needed by the adjoint)
+
+    # ---- adjoint ----
+    first = pl.program_id(0) == 0
+
+    def acc(ref, val):
+        @pl.when(first)
+        def _():
+            ref[...] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ref[...] = ref[...] + val
+
+    def dw(dYk, k):  # dW'_k = dY'_k · IM3[0:K_k]ᵀ — [3S, M]·[M, K]
+        return jax.lax.dot_general(dYk, im_ref[0:off3(k), :],
+                                   (((1,), (1,)), ((), ())),
+                                   preferred_element_type=f32)
+
+    def dim_add(wref, dYk, k, assign=False):
+        # dIM3[0:K_k] (+)= W'_kᵀ · dY'_k — [K, 3S]·[3S, M]
+        v = jax.lax.dot_general(wref[:], dYk, (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+        if assign:
+            dim_ref[0:off3(k), :] = v
+        else:
+            dim_ref[0:off3(k), :] = dim_ref[0:off3(k), :] + v
+
+    g = g_ref[:].astype(f32)
+
+    # out = x5·β + x; x5 = combine(Y5) + b5
+    dz5 = g * res_scale
+    dY5 = combine_adj(dz5).astype(dt)
+    dim_add(w5, dY5, 5, assign=True)
+    dx4 = untap3(off3(4), gc)
+    acc(dw5_ref, dw(dY5, 5))
+
+    # x4 = lrelu(z4) + x2
+    dz4 = dlrelu(m4, dx4)
+    dY4 = combine_adj(dz4).astype(dt)
+    dim_add(w4, dY4, 4)
+    dx3 = untap3(off3(3), gc)
+    acc(dw4_ref, dw(dY4, 4))
+
+    # x3 = lrelu(z3)
+    dz3 = dlrelu(m3, dx3)
+    dY3 = combine_adj(dz3).astype(dt)
+    dim_add(w3, dY3, 3)
+    dx2 = untap3(off3(2), gc) + dx4            # + the x4 += x2 residual
+    acc(dw3_ref, dw(dY3, 3))
+
+    # x2 = lrelu(z2) + c11; the c11 rows of W2' route dIM3 into x's
+    # center-row block, so untap3 recovers the 1×1 path without extra dots.
+    dz2 = dlrelu(m2, dx2)
+    dY2 = jnp.concatenate([combine_adj(dz2), dx2], 0).astype(dt)
+    dim_add(w2, dY2, 2)
+    dx1 = untap3(off3(1), gc)
+    acc(dw2_ref, dw(dY2, 2))
+
+    # x1 = lrelu(z1)
+    dz1 = dlrelu(m1, dx1)
+    dY1 = combine_adj(dz1).astype(dt)
+    dim_add(w1, dY1, 1)
+    dx0 = untap3(0, nf) + g                    # x: row taps (+c11 inside) + skip
+    acc(dw1_ref, dw(dY1, 1))
+
+    dx_ref[:] = dx0.astype(dt)
+
+    # bias is added post-combine: db_k = Σ_m dz_k; rows [b5|b4|b3|b2|b1]
+    dbv = jnp.concatenate([
+        jnp.sum(dz5, axis=1, keepdims=True),
+        jnp.sum(dz4, axis=1, keepdims=True),
+        jnp.sum(dz3, axis=1, keepdims=True),
+        jnp.sum(dz2, axis=1, keepdims=True),
+        jnp.sum(dz1, axis=1, keepdims=True),
+    ], axis=0)
+    acc(db_ref, dbv)
+
+
+@functools.partial(jax.jit, static_argnames=("nf", "gc", "h", "w", "n_img",
+                                             "pack", "slope", "res_scale",
+                                             "interpret"))
+def _rdb_ct_bwd(x, w1, w2, w3, w4, w5, bias, g, *, nf: int, gc: int,
+                h: int, w: int, n_img: int, pack: Optional[int] = None,
+                slope: float, res_scale: float, interpret: bool = False):
+    cin, mtot = x.shape
+    m_img = h * w
+    ktot = 3 * (nf + 4 * gc)
+    if pack is None:
+        pack = 1
+    assert n_img % pack == 0, (n_img, pack)
+    kernel = functools.partial(_rdb_ct_bwd_kernel, nf=nf, gc=gc, H=h, W=w,
+                               pack=pack, slope=slope, res_scale=res_scale)
+    vfull = lambda shape: pl.BlockSpec(shape, lambda g: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    img = lambda: pl.BlockSpec((nf, pack * m_img), lambda g: (0, g),
+                               memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out_shapes = (
+        jax.ShapeDtypeStruct((nf, mtot), x.dtype),            # dx
+        jax.ShapeDtypeStruct(w1.shape, f32),
+        jax.ShapeDtypeStruct(w2.shape, f32),
+        jax.ShapeDtypeStruct(w3.shape, f32),
+        jax.ShapeDtypeStruct(w4.shape, f32),
+        jax.ShapeDtypeStruct(w5.shape, f32),
+        jax.ShapeDtypeStruct(bias.shape, f32),
+    )
+    out_specs = (img(),) + tuple(vfull(s.shape) for s in out_shapes[1:])
+    return pl.pallas_call(
+        kernel,
+        grid=(n_img // pack,),
+        in_specs=[
+            img(),
+            vfull(w1.shape), vfull(w2.shape), vfull(w3.shape),
+            vfull(w4.shape), vfull(w5.shape), vfull(bias.shape),
+            img(),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((ktot, pack * m_img), x.dtype),
+                        pltpu.VMEM((ktot, pack * m_img), f32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(x, w1, w2, w3, w4, w5, bias, g)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_rdb_ct_diff(nf: int, gc: int, h: int, w: int, n_img: int,
+                      fwd_interleave, bwd_pack, slope: float,
+                      res_scale: float, interpret: bool):
+    @jax.custom_vjp
+    def f(x, w1, w2, w3, w4, w5, bias):
+        kdt = x.dtype
+        ws = tuple(wi.astype(kdt) for wi in (w1, w2, w3, w4, w5))
+        return rdb_ct(x, *ws, bias, nf=nf, gc=gc, h=h, w=w, n_img=n_img,
+                      interleave=fwd_interleave, slope=slope,
+                      res_scale=res_scale, split_dots=False,
+                      interpret=interpret)
+
+    def fwd(x, w1, w2, w3, w4, w5, bias):
+        return f(x, w1, w2, w3, w4, w5, bias), (x, w1, w2, w3, w4, w5, bias)
+
+    def bwd(res, g):
+        x, w1, w2, w3, w4, w5, bias = res
+        kdt = x.dtype
+        ws = tuple(wi.astype(kdt) for wi in (w1, w2, w3, w4, w5))
+        outs = _rdb_ct_bwd(x, *ws, bias.astype(jnp.float32), g.astype(kdt),
+                           nf=nf, gc=gc, h=h, w=w, n_img=n_img, pack=bwd_pack,
+                           slope=slope, res_scale=res_scale,
+                           interpret=interpret)
+        # Same scoped-vmem fusion trap as rdb_t (see rdb_t._make_rdb_t_diff):
+        # keep the pallas call out of lax.scan's gradient-stacking fusion.
+        outs = jax.lax.optimization_barrier(outs)
+        dx, dw1, dw2, dw3, dw4, dw5, dbias = outs
+        grads = (dw1, dw2, dw3, dw4, dw5, dbias)
+        prim = (w1, w2, w3, w4, w5, bias)
+        return (dx,) + tuple(dg.astype(p.dtype) for dg, p in zip(grads, prim))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def rdb_ct_diff(x, w1, w2, w3, w4, w5, bias, *, nf: int, gc: int, h: int,
+                w: int, n_img: int = 1, fwd_interleave: Optional[int] = None,
+                bwd_pack: Optional[int] = None, slope: float = 0.2,
+                res_scale: float = 0.2, interpret: bool = False):
+    """Differentiable column-merged RDB: forward = :func:`rdb_ct`, backward =
+    ``_rdb_ct_bwd``. Pass weights in the master (f32) dtype — they are cast
+    to ``x.dtype`` for compute inside, and gradients come back in the master
+    dtype (f32 batch accumulation inside the kernel)."""
+    fn = _make_rdb_ct_diff(nf, gc, h, w, n_img, fwd_interleave, bwd_pack,
+                           slope, res_scale, interpret)
+    return fn(x, w1, w2, w3, w4, w5, bias)

@@ -1,5 +1,11 @@
 """Pallas TPU kernel: whole ESRGAN+ ResidualDenseBlock_5C, transposed layout.
 
+NOTE: the model paths now run the column-merged successor
+(:mod:`esrganplus_tpu.kernels.rdb_ct`) — measured faster at every shape
+tried (its dots emit 3× the output rows per MXU pass). This 9-tap variant
+stays as the reference implementation of the layout (fully tested, and the
+design its successor's docstring builds on).
+
 The XLA path (``models/rrdb.py:_rdb_forward_fused``) round-trips every
 intermediate through HBM and pays lane-rotate assembly around 32-channel
 tensors; measured 1.26 ms/RDB on v5e (batch 8 @128²) vs a 0.32 ms MXU roofline.

@@ -231,17 +231,15 @@ def _use_pallas_trunk(cfg: RRDBNetConfig, train: bool, dtype, h: int, w: int) ->
         return False
     if cfg.trunk_kernel == "pallas":
         return True
-    # auto: bf16 on a real TPU backend, working set within VMEM. Training runs
-    # the custom-VJP pair (kernels/rdb_t.py): the backward additionally holds a
-    # f32 dIM scratch, hence the 3× estimate. Inference runs the column-merged
-    # kernel (kernels/rdb_ct.py) whose IM3 buffer is 3× smaller; its largest
-    # f32 transient is the stage-5 [3·nf, M] partial.
+    # auto: bf16 on a real TPU backend, working set within VMEM. Both paths
+    # run the column-merged kernel (kernels/rdb_ct.py); training's custom-VJP
+    # backward additionally holds the f32 dIM3 scratch (2+4 bytes per IM3
+    # element). The largest f32 transient either way is a [3·nf, M] partial.
     if dtype != jnp.bfloat16 or jax.default_backend() == "cpu":
         return False
-    if train:
-        im_bytes = 9 * (cfg.nf + 4 * cfg.gc) * h * w * 2
-        return im_bytes * 3 <= 96 * 1024 * 1024
-    im3_bytes = 3 * (cfg.nf + 4 * cfg.gc) * h * w * 2 + 3 * cfg.nf * h * w * 4
+    per_el = 6 if train else 2
+    im3_bytes = (3 * (cfg.nf + 4 * cfg.gc) * h * w * per_el
+                 + 3 * cfg.nf * h * w * 4)
     return im3_bytes <= 96 * 1024 * 1024
 
 
@@ -255,9 +253,8 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
     nESRGAN+ noise sites between kernel calls with the SAME key schedule and
     NHWC draw order as the XLA path, so switching paths never changes the
     noise realisation."""
-    from esrganplus_tpu.kernels.rdb_ct import prepare_rdb_ct_weights, rdb_ct
-    from esrganplus_tpu.kernels.rdb_t import (prepare_rdb_t_weights,
-                                              rdb_t_diff)
+    from esrganplus_tpu.kernels.rdb_ct import (prepare_rdb_ct_weights, rdb_ct,
+                                               rdb_ct_diff)
 
     b, h, w, nf = fea.shape
     interp = jax.default_backend() == "cpu"
@@ -265,9 +262,6 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
     wdt = jnp.float32 if train else kdt
 
     def prep(rdb_p):
-        if train:
-            return prepare_rdb_t_weights(rdb_p, cfg.nf, cfg.gc, cfg.conv1x1,
-                                         dtype=wdt)
         return prepare_rdb_ct_weights(rdb_p, cfg.nf, cfg.gc, cfg.conv1x1,
                                       dtype=wdt)
 
@@ -288,11 +282,15 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
 
     kw = dict(nf=cfg.nf, gc=cfg.gc, h=h, w=w, n_img=b, slope=cfg.act_slope,
               res_scale=cfg.res_scale, interpret=interp)
-    # inference: software-pipeline two images per grid step when the batch
-    # and VMEM allow (kernels/rdb_ct.py — measured best on v5e)
-    il = 2 if (b % 2 == 0 and
-               2 * 3 * (cfg.nf + 4 * cfg.gc) * h * w * 2 +
-               2 * 3 * cfg.nf * h * w * 4 <= 96 * 1024 * 1024) else 1
+    # software-pipeline several images per grid step when the batch and VMEM
+    # allow (kernels/rdb_ct.py — measured best on v5e: 4 at training crop
+    # sizes, 2 at bench-scale 128² inputs where 4 no longer pays)
+    im3_il1 = 3 * (cfg.nf + 4 * cfg.gc) * h * w * 2 + 3 * cfg.nf * h * w * 4
+    il = 1
+    for cand in (4, 2) if h * w <= 4096 else (2,):
+        if b % cand == 0 and cand * im3_il1 <= 96 * 1024 * 1024:
+            il = cand
+            break
 
     def body(hcur, xs):
         ws3, key = xs
@@ -305,7 +303,7 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
                           interleave=il, **kw), None
         ks = jax.random.split(key, 4)
         for i, name in enumerate(("rdb1", "rdb2", "rdb3")):
-            hcur = rdb_t_diff(hcur, *ws3[name], **kw)
+            hcur = rdb_ct_diff(hcur, *ws3[name], fwd_interleave=il, **kw)
             if noisy and cfg.rdb_noise:
                 hcur = apply_noise(hcur, ks[i])
         out = hcur * jnp.asarray(cfg.res_scale, kdt) + h0

@@ -137,6 +137,41 @@ def test_rdb_ct_no_conv1x1():
     assert float(jnp.abs(out - ref).max()) < 1e-4
 
 
+def test_rdb_ct_diff_grads_match_xla():
+    # column-merged custom-VJP pair: grads wrt the raw param dict and the
+    # input must match the XLA reference graph (f32, interpret mode). The
+    # combine adjoint (masked reverse lane-shifts) and the free-riding 1×1
+    # path through the IM3 center rows are the novel adjoint pieces.
+    from esrganplus_tpu.kernels.rdb_ct import (prepare_rdb_ct_weights,
+                                               rdb_ct_diff)
+
+    nf, gc, B, H, W = 16, 8, 2, 10, 14
+    cfg = RRDBNetConfig(nf=nf, gc=gc)
+    p = _rand_rdb_params(nf, gc, key=7)
+    x = jax.random.uniform(jax.random.PRNGKey(2), (B, H, W, nf), jnp.float32)
+
+    def loss_pallas(p, x):
+        ws = prepare_rdb_ct_weights(p, nf, gc, True, dtype=jnp.float32)
+        xt = x.transpose(3, 0, 1, 2).reshape(nf, B * H * W)
+        out = rdb_ct_diff(xt, *ws, nf=nf, gc=gc, h=H, w=W, n_img=B,
+                          interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_xla(p, x):
+        out = _rdb_forward(x, p, cfg, jax.random.PRNGKey(0), False, None)
+        return jnp.sum(jnp.sin(out))
+
+    (vp, gp) = jax.value_and_grad(loss_pallas, argnums=(0, 1))(p, x)
+    (vx, gx) = jax.value_and_grad(loss_xla, argnums=(0, 1))(p, x)
+    assert abs(float(vp - vx)) / abs(float(vx)) < 1e-5
+    flat_p, _ = jax.tree_util.tree_flatten_with_path(gp)
+    flat_x, _ = jax.tree_util.tree_flatten_with_path(gx)
+    for (path, a), (_, b) in zip(flat_p, flat_x):
+        err = float(jnp.abs(a - b).max())
+        scale = float(jnp.abs(b).max()) + 1e-6
+        assert err / scale < 1e-4, (path, err, scale)
+
+
 def test_rdb_t_diff_grads_match_xla():
     # custom-VJP kernel pair: grads wrt the raw param dict and the input must
     # match the XLA reference graph (f32, interpret mode; nonuniform cotangent
