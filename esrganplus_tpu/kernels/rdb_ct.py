@@ -360,6 +360,108 @@ def rdb_ct(x, w1, w2, w3, w4, w5, bias, res=None, *, nf: int, gc: int,
 
 
 # ---------------------------------------------------------------------------
+# generic column-merged 3×3 conv (tail/epilogue use)
+# ---------------------------------------------------------------------------
+
+
+def prepare_conv_ct_weights(w, b=None, dtype=jnp.bfloat16):
+    """``[3, 3, Cin, Cout]`` HWIO conv weights → ``[3·Cout, 3·Cin]``
+    column-merged matrix (+ ``[Cout, 1]`` f32 bias or None)."""
+    cin, cout = w.shape[2], w.shape[3]
+    wm = w.transpose(1, 3, 0, 2).reshape(3 * cout, 3 * cin).astype(dtype)
+    bm = None if b is None else b.astype(jnp.float32).reshape(-1, 1)
+    return wm, bm
+
+
+def _conv_ct_kernel(x_ref, w_ref, *rest, cin: int, cout: int, H: int, W: int,
+                    il: int, slope: Optional[float], res_first: bool):
+    """y = conv3x3(x) (+ res) [+ leaky-relu]; ``il`` images per grid step in
+    the stage-synchronous order of ``_rdb_ct_pipe_kernel``."""
+    have_bias = len(rest) == (4 if res_first else 3)
+    if res_first:
+        if have_bias:
+            b_ref, res_ref, o_ref, im_ref = rest
+        else:
+            res_ref, o_ref, im_ref = rest
+    else:
+        if have_bias:
+            b_ref, o_ref, im_ref = rest
+        else:
+            o_ref, im_ref = rest
+    m = H * W
+    f32 = jnp.float32
+    dt = x_ref.dtype
+    maskl, maskr = _col_masks(m, W, f32)
+
+    def im(i):
+        return slice(i * m, (i + 1) * m)
+
+    def append3(i, src):
+        for r in range(3):
+            im_ref[r * cin:(r + 1) * cin, im(i)] = _lane_shift(src, (r - 1) * W)
+
+    def combine(Y):
+        return (_lane_shift(Y[0:cout], -1) * maskl
+                + Y[cout:2 * cout]
+                + _lane_shift(Y[2 * cout:3 * cout], 1) * maskr)
+
+    R = range(il)
+    for i in R:
+        append3(i, x_ref[:, im(i)])
+    Ys = [jnp.dot(w_ref[:], im_ref[:, im(i)], preferred_element_type=f32)
+          for i in R]
+    for i in R:
+        y = combine(Ys[i])
+        if have_bias:
+            y = y + b_ref[:]
+        if res_first:
+            y = y + res_ref[:, im(i)].astype(f32)
+        if slope is not None:
+            y = jnp.where(y >= 0, y, y * slope)
+        o_ref[:, im(i)] = y.astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("cin", "cout", "h", "w", "n_img",
+                                             "interleave", "slope",
+                                             "interpret"))
+def conv3x3_ct(x, wm, bias=None, res=None, *, cin: int, cout: int, h: int,
+               w: int, n_img: int = 1, interleave: int = 1,
+               slope: Optional[float] = None, interpret: bool = False):
+    """Column-merged SAME 3×3 conv on ``[Cin, n_img·H·W]`` transposed-layout
+    input → ``[Cout, n_img·H·W]``. ``wm``/``bias`` from
+    :func:`prepare_conv_ct_weights`; ``res`` is an optional residual added
+    before the (optional leaky-relu) activation."""
+    m_img = h * w
+    assert x.shape == (cin, n_img * m_img), (x.shape, cin, n_img, h, w)
+    il = interleave if n_img % interleave == 0 else 1
+    kernel = functools.partial(_conv_ct_kernel, cin=cin, cout=cout, H=h, W=w,
+                               il=il, slope=slope, res_first=res is not None)
+    vfull = lambda shape: pl.BlockSpec(shape, lambda g: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    blk = lambda c: pl.BlockSpec((c, il * m_img), lambda g: (0, g),
+                                 memory_space=pltpu.VMEM)
+    in_specs = [blk(cin), vfull(wm.shape)]
+    args = [x, wm]
+    if bias is not None:
+        in_specs.append(vfull(bias.shape))
+        args.append(bias)
+    if res is not None:
+        in_specs.append(blk(cout))
+        args.append(res)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_img // il,),
+        in_specs=in_specs,
+        out_specs=blk(cout),
+        out_shape=jax.ShapeDtypeStruct((cout, n_img * m_img), x.dtype),
+        scratch_shapes=[pltpu.VMEM((3 * cin, il * m_img), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
 # backward (training)
 # ---------------------------------------------------------------------------
 

@@ -245,7 +245,7 @@ def _use_pallas_trunk(cfg: RRDBNetConfig, train: bool, dtype, h: int, w: int) ->
 
 def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
                   dtype, *, train: bool = False,
-                  block_keys=None) -> jnp.ndarray:
+                  block_keys=None, trunk_conv: Optional[Params] = None) -> jnp.ndarray:
     """Run the nb-RRDB trunk through the fused transposed RDB kernel.
 
     Training uses the custom-VJP variant (weights crossing the boundary in
@@ -253,7 +253,9 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
     nESRGAN+ noise sites between kernel calls with the SAME key schedule and
     NHWC draw order as the XLA path, so switching paths never changes the
     noise realisation."""
-    from esrganplus_tpu.kernels.rdb_ct import (prepare_rdb_ct_weights, rdb_ct,
+    from esrganplus_tpu.kernels.rdb_ct import (conv3x3_ct,
+                                               prepare_conv_ct_weights,
+                                               prepare_rdb_ct_weights, rdb_ct,
                                                rdb_ct_diff)
 
     b, h, w, nf = fea.shape
@@ -303,7 +305,8 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
                           interleave=il, **kw), None
         ks = jax.random.split(key, 4)
         for i, name in enumerate(("rdb1", "rdb2", "rdb3")):
-            hcur = rdb_ct_diff(hcur, *ws3[name], fwd_interleave=il, **kw)
+            hcur = rdb_ct_diff(hcur, *ws3[name], fwd_interleave=il,
+                               bwd_pack=il, **kw)
             if noisy and cfg.rdb_noise:
                 hcur = apply_noise(hcur, ks[i])
         out = hcur * jnp.asarray(cfg.res_scale, kdt) + h0
@@ -312,6 +315,14 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
         return out, None
 
     out, _ = jax.lax.scan(body, xt, (ws, block_keys), unroll=cfg.unroll)
+    if trunk_conv is not None:
+        # fold the global-residual epilogue fea + conv3x3(trunk) into one
+        # more kernel call while everything is still in the [C, M] layout
+        # (reference architecture.py:73: ShortcutBlock around trunk+LR_conv)
+        wm, bm = prepare_conv_ct_weights(trunk_conv["w"], trunk_conv.get("b"),
+                                         dtype=kdt)
+        out = conv3x3_ct(out, wm, bm, xt, cin=nf, cout=nf, h=h, w=w,
+                         n_img=b, interleave=il, interpret=interp)
     return out.reshape(nf, b, h, w).transpose(1, 2, 3, 0)
 
 
@@ -334,8 +345,15 @@ def rrdbnet_forward(params: Params, x: jnp.ndarray, cfg: RRDBNetConfig, *,
     fea = conv2d(x, params["fea_conv"], dtype=dtype)
 
     if _use_pallas_trunk(cfg, train, dtype, x.shape[1], x.shape[2]):
-        trunk = _trunk_pallas(params["trunk"], fea, cfg, dtype, train=train,
-                              block_keys=block_keys)
+        if train:
+            trunk = _trunk_pallas(params["trunk"], fea, cfg, dtype,
+                                  train=True, block_keys=block_keys)
+            fea = fea + conv2d(trunk, params["trunk_conv"], dtype=dtype)
+        else:
+            # trunk_conv + global residual folded into the kernel path
+            fea = _trunk_pallas(params["trunk"], fea, cfg, dtype, train=False,
+                                block_keys=block_keys,
+                                trunk_conv=params["trunk_conv"])
     else:
         def body(h, xs):
             block_params, key = xs
@@ -343,7 +361,7 @@ def rrdbnet_forward(params: Params, x: jnp.ndarray, cfg: RRDBNetConfig, *,
 
         trunk, _ = jax.lax.scan(body, fea, (params["trunk"], block_keys),
                                 unroll=cfg.unroll)
-    fea = fea + conv2d(trunk, params["trunk_conv"], dtype=dtype)
+        fea = fea + conv2d(trunk, params["trunk_conv"], dtype=dtype)
 
     factor = 3 if cfg.upscale == 3 else 2
     for up in params["upconvs"]:

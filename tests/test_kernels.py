@@ -137,6 +137,34 @@ def test_rdb_ct_no_conv1x1():
     assert float(jnp.abs(out - ref).max()) < 1e-4
 
 
+def test_conv3x3_ct_matches_xla():
+    # generic column-merged 3×3 conv kernel (epilogue/tail use): bias,
+    # residual and leaky-relu epilogues, multi-image interleave.
+    from esrganplus_tpu.kernels.rdb_ct import (conv3x3_ct,
+                                               prepare_conv_ct_weights)
+    from esrganplus_tpu.models.layers import conv2d
+
+    cin, cout, B, H, W = 16, 24, 2, 10, 14
+    w = jax.random.normal(jax.random.PRNGKey(0), (3, 3, cin, cout)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(1), (cout,)) * 0.1
+    x = jax.random.uniform(jax.random.PRNGKey(2), (B, H, W, cin), jnp.float32)
+    res = jax.random.uniform(jax.random.PRNGKey(3), (B, H, W, cout), jnp.float32)
+    tr = lambda a, c: a.transpose(3, 0, 1, 2).reshape(c, B * H * W)
+    untr = lambda a, c: a.reshape(c, B, H, W).transpose(1, 2, 3, 0)
+    wm, bm = prepare_conv_ct_weights(w, b, dtype=jnp.float32)
+    for use_res, slope, il in ((False, None, 1), (True, 0.2, 2)):
+        want = conv2d(x, {"w": w, "b": b})
+        if use_res:
+            want = want + res
+        if slope is not None:
+            want = jnp.where(want >= 0, want, want * slope)
+        got = conv3x3_ct(tr(x, cin), wm, bm,
+                         tr(res, cout) if use_res else None,
+                         cin=cin, cout=cout, h=H, w=W, n_img=B,
+                         interleave=il, slope=slope, interpret=True)
+        assert float(jnp.abs(untr(got, cout) - want).max()) < 1e-4, (use_res,)
+
+
 def test_rdb_ct_diff_grads_match_xla():
     # column-merged custom-VJP pair: grads wrt the raw param dict and the
     # input must match the XLA reference graph (f32, interpret mode). The
