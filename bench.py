@@ -5,8 +5,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Protocol: RRDBNet nb=23 nf=64 gc=32 (16.8M params, the ESRGAN+ flagship), bf16
 compute / fp32 MXU accumulation, batched 128×128 LR inputs → 512×512 outputs,
 steady state after warmup. Metric is output megapixels per second per chip.
-The trunk runs the fused transposed-layout Pallas RDB kernel
-(esrganplus_tpu/kernels/rdb_t.py); head/tail convs run through XLA.
+Batch 32 (measured best: 16 → 48.8, 32 → 50.5 MPix/s; 64 compiles too slowly
+on this toolchain). The trunk runs the column-merged transposed-layout Pallas
+RDB kernel (esrganplus_tpu/kernels/rdb_ct.py, two images software-pipelined
+per grid step); upsample-tail convs run through XLA.
 
 Baseline (A100 PyTorch, pinned 6.0 MPix/s) — measured anchor + derivation:
 
@@ -48,7 +50,7 @@ def main():
     cfg = RRDBNetConfig()
     params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
 
-    batch, lr_size, iters = 16, 128, 10
+    batch, lr_size, iters = 32, 128, 6
     x = jax.random.uniform(jax.random.PRNGKey(1), (batch, lr_size, lr_size, 3), jnp.float32)
 
     import functools

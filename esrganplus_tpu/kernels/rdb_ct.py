@@ -6,8 +6,9 @@ conv is decomposed differently to fix the MXU's *output-row* utilisation:
   * :mod:`rdb_t` materialises all nine tap-shifted copies in the im2col
     buffer and runs one ``[S, 9·C] @ [9·C, M]`` dot per stage. K packs ≥90%
     of its 128-tiles, but the output row count S is the dense-stage width —
-    32 (64 for conv5) — so 75% (50%) of every MXU output tile is padding.
-    Measured marginal dot throughput at those shapes: ~51-87 TF/s (v5e).
+    32 (64 for conv5) — so 75% (50%) of every MXU output tile is padding
+    (probed: a mutant skipping 8/9 tap writes timed the same as the full
+    kernel, so the VPU was NOT the bottleneck — the dots were).
   * here the im2col buffer holds only the three ROW-shifted copies of each
     source (``3·C`` rows instead of ``9·C``), and the three COLUMN taps move
     to the output side: stage k computes ``Y = W' @ IM3`` with
@@ -22,16 +23,19 @@ conv is decomposed differently to fix the MXU's *output-row* utilisation:
     against the x-center-row K columns — the 1×1 conv costs zero extra MXU
     passes.
 
-Measured (v5e, batch 16 of 128², bf16): 0.86 ms/RDB vs rdb_t's 1.29 —
-forward throughput bench 38.9 → 47.7 MPix/s/chip. Marginal dot rates at the
-new shapes: 113-156 TF/s (vs 51-87 for the rdb_t shapes; probe in
-NOTES_ROUND3.md).
+Measured (v5e, batch 16 of 128², bf16): 1.07 ms/RDB (two-image interleaved
+pipe kernel) vs rdb_t's 1.39 and ~2.5 for the best XLA graph — forward bench
+38.9 → 48.8 MPix/s/chip. At training crops (batch 16 of 32²): 0.066 vs
+0.094 ms/RDB. The modeled dot floor of this decomposition is ~0.93 ms/RDB
+at bench shape (FLOP-weighted ~69% MXU tile utilisation from the remaining
+S/K padding; a by-source repartition models to the same 0.69 — the S and K
+constraints just swap sides).
 
 Numerics: identical contraction sets as rdb_t, accumulated in f32 on the MXU
 and rounded to bf16 at each stage output exactly where the XLA bf16 path
 rounds; the only difference is the order the three column-tap partial sums
-enter the f32 accumulation (within bf16-parity tolerances; see
-tests/test_rdb_ct.py).
+enter the f32 accumulation (within bf16-parity tolerances; tests in
+tests/test_kernels.py).
 
 Reference graph: ``codes/models/modules/block.py:232-268`` (RDB_5C; the
 β=0.2 residual, 1×1 shortcut and x4+=x2 are preserved bit-for-bit in
@@ -220,8 +224,9 @@ def _rdb_ct_pipe_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
     independent images; every stage emits ALL images' dots (MXU) before any
     image's combine/append (VPU), so Mosaic's scheduler can run image B's
     stage-k dot while image A's stage-k tap-append is still on the VPU. This
-    is where the serial-dependency stall of the one-image kernel goes
-    (measured v5e: 1.15 → 0.86 ms/RDB at il=2, batch 16 of 128²)."""
+    is where part of the serial-dependency stall of the one-image kernel
+    goes (measured v5e, batch 16 of 128²: 1.15 → 1.07 ms/RDB at il=2;
+    at 32² crops: 0.078 → 0.066 at il=4)."""
     if rrdb_scale is not None:
         res_ref, o_ref, im_ref = rest
     else:
