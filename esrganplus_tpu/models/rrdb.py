@@ -285,11 +285,12 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
     kw = dict(nf=cfg.nf, gc=cfg.gc, h=h, w=w, n_img=b, slope=cfg.act_slope,
               res_scale=cfg.res_scale, interpret=interp)
     # software-pipeline several images per grid step when the batch and VMEM
-    # allow (kernels/rdb_ct.py — measured best on v5e: 4 at training crop
-    # sizes, 2 at bench-scale 128² inputs where 4 no longer pays)
+    # allow (kernels/rdb_ct.py — measured on v5e: il=4 clearly best at crop
+    # shapes, il=4 ≈ il=2 at 128² bench shape; the VMEM check drops il
+    # automatically as the per-image working set grows)
     im3_il1 = 3 * (cfg.nf + 4 * cfg.gc) * h * w * 2 + 3 * cfg.nf * h * w * 4
     il = 1
-    for cand in (4, 2) if h * w <= 4096 else (2,):
+    for cand in (4, 2):
         if b % cand == 0 and cand * im3_il1 <= 96 * 1024 * 1024:
             il = cand
             break
