@@ -65,10 +65,11 @@ class RRDBNetConfig:
     # 96-224 so the MXU's 128 lanes aren't 75% idle. Parity-tested vs the naive
     # graph; disable to run the literal reference dataflow.
     fused: bool = True
-    # Trunk execution path: "auto" uses the fused transposed Pallas RDB kernel
-    # (kernels/rdb_t.py — ~2x the XLA trunk on v5e) for bf16 inference on TPU
-    # when the im2col working set fits VMEM, and the XLA graph otherwise
-    # (training, fp32 checkpoint-parity, CPU). "xla" / "pallas" force a path.
+    # Trunk execution path: "auto" uses the column-merged transposed Pallas
+    # RDB kernel (kernels/rdb_ct.py — ~2.3x the XLA trunk on v5e; custom-VJP
+    # pair for training) for bf16 on TPU when the working set fits VMEM, and
+    # the XLA graph otherwise (fp32 checkpoint-parity, CPU). "xla" /
+    # "pallas" force a path.
     trunk_kernel: str = "auto"
 
     @property
