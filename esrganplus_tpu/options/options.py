@@ -195,7 +195,7 @@ def build_train_config(opt):
             pixel_criterion=t.get("pixel_criterion", "l1"),
             pixel_weight=t.get("pixel_weight", 1.0),
             compute_dtype=t.get("compute_dtype"),
-            noise_prng=t.get("noise_prng") or "threefry",
+            noise_prng=t.get("noise_prng") or "rbg",
         )
     if model in ("srgan", "srragan"):
         from esrganplus_tpu.train.gan_model import GANTrainConfig
@@ -219,7 +219,7 @@ def build_train_config(opt):
             gp_weight=t.get("gp_weigth_loss", 10.0),
             vgg_path=(opt["path"] or {}).get("vgg19"),
             compute_dtype=t.get("compute_dtype"),
-            noise_prng=t.get("noise_prng") or "threefry",
+            noise_prng=t.get("noise_prng") or "rbg",
         )
     if model == "sftgan":
         from esrganplus_tpu.train.sftgan_model import SFTGANTrainConfig

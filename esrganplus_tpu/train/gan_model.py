@@ -67,9 +67,9 @@ class GANTrainConfig:
     gp_weight: float = 10.0
     vgg_path: Optional[str] = None
     compute_dtype: Optional[str] = None
-    # noise-site PRNG: 'threefry' (bitwise-reproducible) | 'rbg' (hardware
-    # RngBitGenerator, measurably cheaper per step — see train/rng.py)
-    noise_prng: str = "threefry"
+    # noise-site PRNG: 'rbg' (hardware RngBitGenerator, default) |
+    # 'threefry' (bitwise-reproducible replay — see train/rng.py)
+    noise_prng: str = "rbg"
     init_scale_g: float = 0.1
     init_scale_d: float = 1.0
 

@@ -1,13 +1,13 @@
 """Noise-PRNG selection for the nESRGAN+ noise sites.
 
 The reference's noise is ``torch.normal_`` per step (``block.py:120``) — no
-bitwise reproducibility contract. Our default threefry keys ARE bitwise
-reproducible, but threefry costs real step time on TPU: the flagship recipe
-draws 69 × [16,32,32,64] normals per step, measured 6.3 ms of a 40 ms PSNR
-step (v5e, 2026-08-16). ``impl="rbg"`` routes the same per-step key through
-XLA's hardware RngBitGenerator — deterministic per (key, shape) on a fixed
-compiler/backend, but not guaranteed stable across XLA versions. Opt in via
-``train.noise_prng: "rbg"`` when throughput matters more than bit-replay.
+bitwise reproducibility contract, so the DEFAULT here is ``"rbg"``: XLA's
+hardware RngBitGenerator, deterministic per (key, shape) on a fixed
+compiler/backend but not guaranteed stable across XLA versions. The
+flagship recipe draws 69 × [16,32,32,64] normals per step; through threefry
+that costs ~5 ms of the 28 ms PSNR step (v5e, 2026-08-17). Set
+``train.noise_prng: "threefry"`` for bitwise-reproducible replay (keys are
+threefry either way — only the sampling impl changes).
 """
 
 from __future__ import annotations

@@ -37,9 +37,10 @@ class SRTrainConfig:
     grad_clip: Optional[float] = None
     compute_dtype: Optional[str] = None  # None (fp32) | 'bfloat16'
     init_scale: float = 0.1
-    # 'threefry' (bitwise-reproducible keys, default) | 'rbg' (XLA hardware
-    # RngBitGenerator — measured 6.3 ms/step cheaper on v5e; see train/rng.py)
-    noise_prng: str = "threefry"
+    # 'rbg' (XLA hardware RngBitGenerator, default — the 69 per-step noise
+    # draws cost ~5 ms of the 28 ms step through threefry) | 'threefry'
+    # (bitwise-reproducible replay; see train/rng.py)
+    noise_prng: str = "rbg"
 
 
 def pixel_loss(pred, target, criterion: str):
