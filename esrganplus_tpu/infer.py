@@ -128,6 +128,7 @@ class SRInferencer:
         self.cfg = cfg
         self.dtype = dtype
         self.pad_multiple = pad_multiple
+        self.noise_active = noise_rng is not None
         if noise_rng is not None:
             self._fwd = jax.jit(functools.partial(
                 generator_forward, cfg=cfg, train=True, rng=noise_rng, dtype=dtype))
@@ -169,8 +170,15 @@ class SRInferencer:
 
         ``batched`` groups the variants by shape — the 4 untransposed and the
         4 transposed ones — into TWO batched forwards (one for square inputs)
-        instead of 8 dispatches; same math, same result."""
+        instead of 8 dispatches; same math, same result for the (normal)
+        noise-free forward. When the inferencer was built with ``noise_rng``
+        (Tarsier workflow: noise sites active at inference), batching would
+        change the noise shapes and hence the realisations each variant sees,
+        so the per-variant path is forced to keep outputs independent of this
+        optimisation."""
         assert img_rgb.ndim == 3
+        if self.noise_active:
+            batched = False
 
         def tf(img, op):
             if op == "v":

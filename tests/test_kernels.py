@@ -8,8 +8,8 @@ import numpy as np
 import pytest
 from jax.experimental import pallas as pl
 
-import esrganplus_tpu.kernels.conv as conv_mod
-import esrganplus_tpu.kernels.rdb as rdb_mod
+import esrganplus_tpu.kernels.workbench.conv as conv_mod
+import esrganplus_tpu.kernels.workbench.rdb as rdb_mod
 from esrganplus_tpu.models.layers import kaiming_conv_init
 from esrganplus_tpu.models.rrdb import RRDBNetConfig, _rdb_forward
 
