@@ -25,11 +25,16 @@ CACHE = os.path.join(HERE, "golden_cache")
 def ensure_cached_goldens() -> bool:
     """Generate large fixtures into tests/golden_cache if missing. Returns False
     when the reference checkout is unavailable (callers should skip)."""
-    if os.path.exists(os.path.join(CACHE, "d_vgg128_io.npz")):
+    return ensure_discriminator_goldens(128)
+
+
+def ensure_discriminator_goldens(size: int = 128) -> bool:
+    """Full-shape (base_nf=64, BN on) D_VGG_{96,128,192} golden fixtures."""
+    if os.path.exists(os.path.join(CACHE, f"d_vgg{size}_io.npz")):
         return True
     if not os.path.isdir(REF):
         return False
-    _make_discriminator_goldens()
+    _make_discriminator_goldens(size)
     return True
 
 
@@ -308,12 +313,14 @@ def main():
     print("goldens written to", GOLDEN)
 
 
-def _make_discriminator_goldens(out_dir=None):
-    """Golden logits + BN running-stat trajectory from the reference D_VGG_128.
+def _make_discriminator_goldens(size: int = 128, out_dir=None):
+    """Golden logits + BN running-stat trajectory from the reference
+    D_VGG_{96,128,192} (``architecture.py:87-270``).
 
-    base_nf must be 64: the reference classifier hard-codes Linear(512*4*4, 100)
-    (``architecture.py:126``), so any other width crashes upstream. The ~58 MB
-    fixture therefore goes to the gitignored cache dir, generated on demand.
+    base_nf must be 64: the reference classifiers hard-code the 512-channel
+    flatten (Linear(512*4*4, 100) etc., ``architecture.py:126,216,266``), so
+    any other width crashes upstream. The ~58 MB fixtures therefore go to the
+    gitignored cache dir, generated on demand.
     """
     import torch
 
@@ -324,10 +331,11 @@ def _make_discriminator_goldens(out_dir=None):
     out_dir = out_dir or CACHE
     os.makedirs(out_dir, exist_ok=True)
     torch.manual_seed(21)
-    net = codes_arch.Discriminator_VGG_128(in_nc=3, base_nf=64, norm_type="batch")
-    x0 = torch.rand(2, 3, 128, 128)
-    x1 = torch.rand(2, 3, 128, 128)
-    x2 = torch.rand(2, 3, 128, 128)
+    cls = getattr(codes_arch, f"Discriminator_VGG_{size}")
+    net = cls(in_nc=3, base_nf=64, norm_type="batch")
+    x0 = torch.rand(2, 3, size, size)
+    x1 = torch.rand(2, 3, size, size)
+    x2 = torch.rand(2, 3, size, size)
     net.train()
     with torch.no_grad():
         logits_train0 = net(x0)  # batch-stat forward; also updates running stats
@@ -336,9 +344,9 @@ def _make_discriminator_goldens(out_dir=None):
     net.eval()
     with torch.no_grad():
         logits_eval = net(x0)
-    torch.save(net.state_dict(), os.path.join(out_dir, "d_vgg128.pth"))
+    torch.save(net.state_dict(), os.path.join(out_dir, f"d_vgg{size}.pth"))
     np.savez_compressed(
-        os.path.join(out_dir, "d_vgg128_io.npz"),
+        os.path.join(out_dir, f"d_vgg{size}_io.npz"),
         x0=x0.numpy(), x1=x1.numpy(), x2=x2.numpy(),
         logits_train0=logits_train0.numpy(),
         logits_eval=logits_eval.numpy(),

@@ -81,13 +81,40 @@ def test_discriminator_roundtrip(d_fixture):
         np.testing.assert_allclose(sd2[k], sd[k], atol=1e-7, err_msg=k)
 
 
-def test_discriminator_96_and_192_shapes():
-    for size in (96, 192):
-        cfg = DiscriminatorVGGConfig(input_size=size, base_nf=16)
-        params = init_discriminator(jax.random.PRNGKey(0), cfg)
-        x = jnp.zeros((2, size, size, 3))
-        logits, _ = discriminator_forward(params, x, cfg, train=True)
-        assert logits.shape == (2, 1)
+@pytest.mark.parametrize("size", [96, 192])
+def test_discriminator_96_192_golden_parity(size):
+    """Full-shape (base_nf=64, BN on) torch goldens for the 96/192 variants —
+    same protocol as the 128 fixture: eval logits, train-mode (batch-stat)
+    logits, and the running-stat trajectory over 3 train forwards. The 192
+    variant has an extra stage (n_stages=6), so this catches any stage-count /
+    BN-indexing drift the shape-only test missed."""
+    if not make_goldens.ensure_discriminator_goldens(size):
+        pytest.skip("reference checkout unavailable; cached goldens missing")
+    sd = load_state_dict(os.path.join(CACHE, f"d_vgg{size}.pth"))
+    io = np.load(os.path.join(CACHE, f"d_vgg{size}_io.npz"))
+    cfg = DiscriminatorVGGConfig(input_size=size, base_nf=64)
+
+    params = discriminator_from_state_dict(sd, cfg)
+    logits, _ = discriminator_forward(params, jnp.asarray(_nchw(io["x0"])), cfg, train=False)
+    np.testing.assert_allclose(np.asarray(logits), io["logits_eval"], atol=2e-4)
+
+    # Reset running stats to init and replay the reference's 3 train forwards.
+    for entry in params["bn"]:
+        for side in ("a", "b"):
+            if entry[side] is not None:
+                entry[side]["mean"] = jnp.zeros_like(entry[side]["mean"])
+                entry[side]["var"] = jnp.ones_like(entry[side]["var"])
+    logits, st = discriminator_forward(params, jnp.asarray(_nchw(io["x0"])), cfg, train=True)
+    np.testing.assert_allclose(np.asarray(logits), io["logits_train0"], atol=2e-4)
+    params = apply_state_updates(params, st, cfg)
+    for name in ("x1", "x2"):
+        _, st = discriminator_forward(params, jnp.asarray(_nchw(io[name])), cfg, train=True)
+        params = apply_state_updates(params, st, cfg)
+    sd2 = discriminator_to_state_dict(params, cfg)
+    assert set(sd2) == set(sd)
+    for k in sd:
+        if "running_mean" in k or "running_var" in k:
+            np.testing.assert_allclose(sd2[k], sd[k], atol=1e-4, err_msg=k)
 
 
 def test_discriminator_spectral_norm_runs():
@@ -100,6 +127,50 @@ def test_discriminator_spectral_norm_runs():
     # u vectors should move after a power-iteration step
     assert not np.allclose(np.asarray(p2["convs"][0]["a"]["u"]),
                            np.asarray(params["convs"][0]["a"]["u"]))
+
+
+def test_vgg19_structure_matches_torchvision_table():
+    """Structure-hash the expanded plan against torchvision's published VGG19
+    `features` layer table (torchvision.models.vgg cfg 'E'; torchvision itself
+    is not installed here). Catches any index/pool/truncation drift relative to
+    the reference's `[:feature_layer + 1]` slice semantics
+    (``architecture.py:297``, ``networks.py:144-148``) without needing weights."""
+    from esrganplus_tpu.models.vgg import VGGFeatConfig, _torchvision_plan
+
+    # torchvision vgg19.features: (index, kind, out_channels-or-None)
+    def expected_table(use_bn):
+        table = []
+        cin = 3
+        for c in (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
+                  512, 512, 512, 512, "M", 512, 512, 512, 512, "M"):
+            if c == "M":
+                table.append(("pool", None))
+            else:
+                table.append(("conv", c))
+                if use_bn:
+                    table.append(("bn", c))
+                table.append(("relu", None))
+                cin = c
+        return table
+
+    for use_bn, feature_layer, n_features in ((False, 34, 37), (True, 49, 53)):
+        cfg = VGGFeatConfig(feature_layer=feature_layer, use_bn=use_bn)
+        plan = _torchvision_plan(cfg)
+        exp = expected_table(use_bn)
+        assert len(plan) == n_features  # torchvision len(vgg19(_bn).features)
+        for i, (entry, (kind, c)) in enumerate(zip(plan, exp)):
+            assert entry[0] == kind, f"index {i}: {entry[0]} != {kind}"
+            if kind == "conv":
+                assert entry[2] == c, f"index {i}: cout {entry[2]} != {c}"
+            if kind == "bn":
+                assert entry[1] == c
+        # Truncation: [:feature_layer+1] must END at conv5_4 pre-activation.
+        trunc = plan[: cfg.feature_layer + 1]
+        assert trunc[-1][0] == "conv" and trunc[-1][2] == 512
+        assert sum(1 for e in trunc if e[0] == "conv") == 16  # conv1_1..conv5_4
+        assert sum(1 for e in trunc if e[0] == "pool") == 4   # pools 1-4 only
+        # First dropped layer: bn5_4 for the BN variant, relu5_4 otherwise.
+        assert plan[cfg.feature_layer + 1][0] == ("bn" if use_bn else "relu")
 
 
 def test_vgg_feature_extractor_parity():
