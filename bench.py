@@ -35,13 +35,20 @@ BASELINE.json).
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 A100_PYTORCH_BASELINE_MPIX_S = 6.0
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of one timed chain "
+                         "into DIR (view: tensorboard --logdir DIR)")
+    args = ap.parse_args(argv)
+
     import jax
     import jax.numpy as jnp
 
@@ -71,6 +78,9 @@ def main():
         return acc
 
     _ = np.asarray(chain(x)[0, 0, 0])  # compile + warmup
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            _ = np.asarray(chain(x)[0, 0, 0])
     times = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -51,6 +51,11 @@ def _get_tb_writer(log_dir: str):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-opt", required=True, help="path to option JSON file")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the steady-state "
+                         "training loop into DIR (TensorBoard-loadable)")
+    ap.add_argument("--profile-steps", type=int, default=20,
+                    help="how many steps to trace (after 10 warmup steps)")
     args = ap.parse_args(argv)
 
     import jax
@@ -158,10 +163,23 @@ def main(argv=None):
     rng = jax.random.PRNGKey(seed + 1)
     sharded_eval = None
 
+    # --profile: trace [start+10, start+10+profile_steps) — past compile and
+    # feeder warmup so the capture shows the steady-state step.
+    prof_start = start_step + 10 if args.profile else None
+    prof_stop = prof_start + args.profile_steps if args.profile else None
+
     t_last = time.time()
     for step in range(start_step, niter):
+        if step == prof_start:
+            jax.profiler.start_trace(args.profile)
+            logger.info(f"profiler trace started -> {args.profile}")
         batch_dev, _ = next(feeder)
         state, logs = trainer.train_step(state, batch_dev, rng)
+        if step + 1 == prof_stop:
+            jax.tree_util.tree_map(lambda a: a.block_until_ready(), logs)
+            jax.profiler.stop_trace()
+            logger.info(f"profiler trace written to {args.profile} "
+                        f"(view: tensorboard --logdir {args.profile})")
 
         if (step + 1) % print_freq == 0:
             logs_h = {k: float(v) for k, v in logs.items()}

@@ -385,6 +385,47 @@ def rrdbnet_forward(params: Params, x: jnp.ndarray, cfg: RRDBNetConfig, *,
     return out.astype(jnp.float32)
 
 
+def rrdbnet_activations(params: Params, x: jnp.ndarray, cfg: RRDBNetConfig, *,
+                        dtype=None) -> dict:
+    """Eval-mode forward returning every named intermediate, for parity
+    localisation against a torch reference run (see
+    ``tools/dump_torch_activations.py`` for the hook-based twin producing the
+    same stage names from the reference net, ``test_image/architecture.py:7-38``).
+
+    Stage names / torch module map (flattened-Sequential indices, SURVEY §2.10):
+    ``fea_conv``=model.0, ``rrdb_XX``=model.1.sub.XX, ``trunk``=model.1 output
+    (shortcut sum), ``upconv_K``=model.4/model.7 (post-lrelu), ``hr_conv0``=
+    model.9 (post-lrelu), ``hr_conv1``=model.10. Always runs the literal XLA
+    graph (``fused=False`` semantics are parity-equivalent; the Pallas trunk is
+    bypassed) since the point is checkpoint/conversion debugging, not speed.
+    """
+    acts = {}
+    block_keys = jax.random.split(jax.random.PRNGKey(0), cfg.nb)
+    fea = conv2d(x, params["fea_conv"], dtype=dtype)
+    acts["fea_conv"] = fea
+
+    def body(h, xs):
+        block_params, key = xs
+        h2 = _rrdb_forward(h, block_params, cfg, key, False, dtype)
+        return h2, h2
+
+    trunk, per_block = jax.lax.scan(body, fea, (params["trunk"], block_keys),
+                                    unroll=cfg.unroll)
+    for k in range(cfg.nb):
+        acts[f"rrdb_{k:02d}"] = per_block[k]
+    fea = fea + conv2d(trunk, params["trunk_conv"], dtype=dtype)
+    acts["trunk"] = fea
+    factor = 3 if cfg.upscale == 3 else 2
+    for i, up in enumerate(params["upconvs"]):
+        fea = act(conv2d(upsample_nearest(fea, factor), up, dtype=dtype),
+                  cfg.act_type, cfg.act_slope)
+        acts[f"upconv_{i}"] = fea
+    fea = act(conv2d(fea, params["hr_conv0"], dtype=dtype), cfg.act_type, cfg.act_slope)
+    acts["hr_conv0"] = fea
+    acts["hr_conv1"] = conv2d(fea, params["hr_conv1"], dtype=dtype).astype(jnp.float32)
+    return acts
+
+
 def _fold_upconv(p: Params, f: int) -> Params:
     """Fold a 3×3 HR conv (applied after nearest-×f upsampling) into a 3×3 LR
     conv with f²·Cout phase-packed outputs (pixel-shuffle channel order)."""

@@ -210,3 +210,56 @@ def test_sharded_evaluator_sft_side_input():
                            jnp.asarray(seg[None]), cfg))[0], 0.0, 1.0)
         assert out.shape == want.shape
         np.testing.assert_allclose(out, want, atol=1e-5)
+
+
+def test_activation_dump_localises_against_torch(tmp_path):
+    """End-to-end activation-dump debug mode (PARITY.md's localisation recipe):
+    tools/dump_torch_activations.py hooks the reference net, the CLI dumps the
+    same 29 stage names here, and --compare-activations agrees stage-by-stage
+    on a flagship checkpoint — then flags a corrupted stage as FIRST bad."""
+    import json
+    import subprocess
+
+    from esrganplus_tpu.cli.test_image import main as test_image_main
+
+    if not make_goldens.ensure_flagship_golden():
+        pytest.skip("reference unavailable")
+    ckpt = os.path.join(make_goldens.CACHE, "rrdb_flagship.pth")
+    lr_dir = tmp_path / "lr"
+    lr_dir.mkdir()
+    import cv2
+
+    rng = np.random.RandomState(5)
+    cv2.imwrite(str(lr_dir / "img.png"),
+                (rng.rand(40, 40, 3) * 255).astype(np.uint8))
+
+    ref_json = tmp_path / "ref_acts.json"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "dump_torch_activations.py"),
+         ckpt, "--input", str(lr_dir), "--out", str(ref_json)],
+        check=True, capture_output=True)
+
+    our_json = tmp_path / "our_acts.json"
+    with pytest.raises(SystemExit) as ei:
+        test_image_main([ckpt, "--input", str(lr_dir), "--output",
+                         str(tmp_path / "sr"),
+                         "--dump-activations", str(our_json),
+                         "--compare-activations", str(ref_json)])
+    assert ei.value.code == 0
+
+    ours = json.load(open(our_json))
+    ref = json.load(open(ref_json))
+    assert set(ours["images"]["img"]) == set(ref["images"]["img"]) and \
+        len(ours["images"]["img"]) == 29
+
+    # Corrupt one mid-trunk stage in the reference dump: compare must fail and
+    # name exactly that stage as the first divergence.
+    ref["images"]["img"]["rrdb_07"]["rms"] *= 1.5
+    json.dump(ref, open(ref_json, "w"))
+    with pytest.raises(SystemExit) as ei:
+        test_image_main([ckpt, "--input", str(lr_dir), "--output",
+                         str(tmp_path / "sr"),
+                         "--dump-activations", str(our_json),
+                         "--compare-activations", str(ref_json)])
+    assert ei.value.code == 1
