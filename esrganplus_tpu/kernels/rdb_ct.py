@@ -93,6 +93,31 @@ def prepare_rdb_ct_weights(p: dict, nf: int, gc: int, conv1x1: bool,
     return wk(1), wk(2), wk(3), wk(4), wk(5), bias
 
 
+def _seed_prng(seed_ref):
+    """Seed the core PRNG from the 2-word site seed + grid step (Mosaic
+    accepts at most 2 seed values — fold program_id into word 1 with a
+    Knuth-hash odd multiplier). Must be called identically by the forward
+    and backward kernels so the noise bits replay."""
+    gid = pl.program_id(0) * jnp.int32(-1640531527)  # 2654435761 as int32
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] ^ gid)
+
+
+def _kernel_normal(shape):
+    """Standard normals from the TPU core's hardware PRNG (Box-Muller on two
+    24-bit uniforms). Deterministic per (pltpu.prng_seed(...), draw order) —
+    the custom-VJP backward replays the same bits instead of saving the
+    noise. Not available in interpret mode (prng_seed has no CPU lowering),
+    so callers gate on a real TPU backend."""
+    b1 = pltpu.prng_random_bits(shape)
+    b2 = pltpu.prng_random_bits(shape)
+    s8 = jnp.int32(8)
+    u1 = (jax.lax.shift_right_logical(b1, s8).astype(jnp.float32)
+          * (1.0 / (1 << 24)) + (0.5 / (1 << 24)))
+    u2 = (jax.lax.shift_right_logical(b2, s8).astype(jnp.float32)
+          * (1.0 / (1 << 24)))
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(6.283185307179586 * u2)
+
+
 def _col_masks(M: int, W: int, dtype):
     """Post-shift column-boundary masks [1, M]: l = output col > 0 (for the
     s=0 tap), r = output col < W-1 (for the s=2 tap)."""
@@ -118,11 +143,18 @@ def _row_masks(M: int, m_img: int, W: int, dtype, packed: bool):
 def _rdb_ct_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
                    nf: int, gc: int, H: int, W: int, pack: int, slope: float,
                    res_scale: float, rrdb_scale: Optional[float] = None,
-                   split_dots: bool = True):
-    if rrdb_scale is not None:
-        res_ref, o_ref, im_ref = rest
-    else:
-        o_ref, im_ref = rest
+                   split_dots: bool = True, save: bool = False,
+                   noise_sigma: Optional[float] = None):
+    rest = list(rest)
+    res_ref = rest.pop(0) if rrdb_scale is not None else None
+    seed_ref = rest.pop(0) if noise_sigma is not None else None
+    o_ref = rest.pop(0)
+    sv_ref = rest.pop(0) if save else None
+    (im_ref,) = rest
+    if noise_sigma is not None:
+        # draw before any compute so the backward replays identical bits
+        _seed_prng(seed_ref)
+        nz = _kernel_normal((nf, pack * H * W))
     M = pack * H * W
     dt = x_ref.dtype
     f32 = jnp.float32
@@ -200,26 +232,42 @@ def _rdb_ct_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
         x1 = lrelu(combine(full_dot(w1, 1), gc) + stage_b(1, gc)).astype(dt)
         append3(x1, off3(1), gc)
         Y2 = full_dot(w2, 2)                       # [4·gc, M]: 3 taps + c11
-        x2 = (lrelu(combine(Y2, gc) + stage_b(2, gc))
-              + Y2[3 * gc:4 * gc]).astype(dt)
+        l2 = lrelu(combine(Y2, gc) + stage_b(2, gc))
+        x2 = (l2 + Y2[3 * gc:4 * gc]).astype(dt)
         append3(x2, off3(2), gc)
         x3 = lrelu(combine(full_dot(w3, 3), gc) + stage_b(3, gc)).astype(dt)
         append3(x3, off3(3), gc)
-        x4 = (lrelu(combine(full_dot(w4, 4), gc) + stage_b(4, gc))
-              + x2.astype(f32)).astype(dt)
+        l4 = lrelu(combine(full_dot(w4, 4), gc) + stage_b(4, gc))
+        x4 = (l4 + x2.astype(f32)).astype(dt)
         append3(x4, off3(4), gc)
         x5 = combine(full_dot(w5, 5), nf) + stage_b(5, nf)
+        if save:
+            # training residuals: stage outputs (bit-exact IM3 rebuild in the
+            # backward) + the pre-residual lrelu outputs l2/l4 (sign ⇒ mask)
+            sv_ref[0 * gc:1 * gc, :] = x1
+            sv_ref[1 * gc:2 * gc, :] = l2.astype(dt)
+            sv_ref[2 * gc:3 * gc, :] = x2
+            sv_ref[3 * gc:4 * gc, :] = x3
+            sv_ref[4 * gc:5 * gc, :] = l4.astype(dt)
+            sv_ref[5 * gc:6 * gc, :] = x4
 
     out = x5 * res_scale + x.astype(f32)
     if rrdb_scale is not None:
         out = out * rrdb_scale + res_ref[:].astype(f32)
+    if noise_sigma is not None:
+        # nESRGAN+ relative noise on the block output: out·(1 + σn). The
+        # forward is identical for the detach variant (detach only changes
+        # the adjoint); realisation contract is "rbg" (hardware RNG).
+        out = out * (1.0 + noise_sigma * nz)
     o_ref[:] = out.astype(dt)
 
 
 def _rdb_ct_pipe_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
                         nf: int, gc: int, H: int, W: int, il: int,
                         slope: float, res_scale: float,
-                        rrdb_scale: Optional[float] = None):
+                        rrdb_scale: Optional[float] = None,
+                        save: bool = False,
+                        noise_sigma: Optional[float] = None):
     """``il``-image software-pipelined variant: each grid step holds ``il``
     independent images; every stage emits ALL images' dots (MXU) before any
     image's combine/append (VPU), so Mosaic's scheduler can run image B's
@@ -227,13 +275,18 @@ def _rdb_ct_pipe_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
     is where part of the serial-dependency stall of the one-image kernel
     goes (measured v5e, batch 16 of 128²: 1.15 → 1.07 ms/RDB at il=2;
     at 32² crops: 0.078 → 0.066 at il=4)."""
-    if rrdb_scale is not None:
-        res_ref, o_ref, im_ref = rest
-    else:
-        o_ref, im_ref = rest
+    rest = list(rest)
+    res_ref = rest.pop(0) if rrdb_scale is not None else None
+    seed_ref = rest.pop(0) if noise_sigma is not None else None
+    o_ref = rest.pop(0)
+    sv_ref = rest.pop(0) if save else None
+    (im_ref,) = rest
     m = H * W
     dt = x_ref.dtype
     f32 = jnp.float32
+    if noise_sigma is not None:
+        _seed_prng(seed_ref)
+        nz = _kernel_normal((nf, il * m))
 
     maskl, maskr = _col_masks(m, W, f32)
 
@@ -277,19 +330,29 @@ def _rdb_ct_pipe_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
         if k == 5:
             return combine(Yk, nf) + stage_b(5, nf)
         y = combine(Yk, gc) + stage_b(k, gc)
-        xk = lrelu(y)
+        lk = lrelu(y)
+        xk = lk
         if k == 2:
             xk = xk + Yk[3 * gc:4 * gc]
         elif k == 4:
             xk = xk + x2_i.astype(f32)
         xk = xk.astype(dt)
         append3(i, xk, off3(k), gc)
+        if save:
+            # rows [x1; l2; x2; x3; l4; x4] — see the plain kernel's `save`
+            xrow = {1: 0, 2: 2, 3: 3, 4: 5}[k]
+            sv_ref[xrow * gc:(xrow + 1) * gc, im(i)] = xk
+            if k in (2, 4):
+                lrow = {2: 1, 4: 4}[k]
+                sv_ref[lrow * gc:(lrow + 1) * gc, im(i)] = lk.astype(dt)
         return xk
 
     def emit_out(i, x5):
         out = x5 * res_scale + xs[i].astype(f32)
         if rrdb_scale is not None:
             out = out * rrdb_scale + res_ref[:, im(i)].astype(f32)
+        if noise_sigma is not None:
+            out = out * (1.0 + noise_sigma * nz[:, im(i)])
         o_ref[:, im(i)] = out.astype(dt)
 
     # Stage-synchronous emission: all images' stage-k dots (MXU), then all
@@ -317,17 +380,26 @@ def _rdb_ct_pipe_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
 @functools.partial(jax.jit, static_argnames=("nf", "gc", "h", "w", "n_img",
                                              "pack", "slope", "res_scale",
                                              "rrdb_scale", "split_dots",
-                                             "interleave", "interpret"))
-def rdb_ct(x, w1, w2, w3, w4, w5, bias, res=None, *, nf: int, gc: int,
+                                             "interleave", "save_residuals",
+                                             "noise_sigma", "alias_res",
+                                             "interpret"))
+def rdb_ct(x, w1, w2, w3, w4, w5, bias, res=None, noise_seed=None, *,
+           nf: int, gc: int,
            h: int, w: int, n_img: int = 1, pack: Optional[int] = None,
            slope: float = 0.2, res_scale: float = 0.2,
            rrdb_scale: Optional[float] = None, split_dots: bool = True,
-           interleave: Optional[int] = None, interpret: bool = False):
+           interleave: Optional[int] = None, save_residuals: bool = False,
+           noise_sigma: Optional[float] = None, alias_res: bool = False,
+           interpret: bool = False):
     """Column-merged fused RDB forward: x ``[nf, n_img·H·W]`` → same shape.
 
     Weights from :func:`prepare_rdb_ct_weights`. ``interleave`` > 1 selects
     the software-pipelined multi-image kernel (``_rdb_ct_pipe_kernel``) —
     mutually exclusive with ``pack`` > 1. Other args as :func:`rdb_t.rdb_t`.
+    ``save_residuals`` additionally returns the training residuals
+    ``[6·gc, M]`` (rows x1|l2|x2|x3|l4|x4) that let ``_rdb_ct_bwd`` skip the
+    stage-1..4 forward recompute (12 of its 56 MXU pass-tiles); requires
+    ``split_dots=False`` (the VJP path always uses that or the pipe kernel).
     """
     cin, mtot = x.shape
     m_img = h * w
@@ -339,22 +411,37 @@ def rdb_ct(x, w1, w2, w3, w4, w5, bias, res=None, *, nf: int, gc: int,
         interleave = 1
     assert pack == 1 or interleave == 1, (pack, interleave)
     assert n_img % (pack * interleave) == 0, (n_img, pack, interleave)
+    if max(pack, interleave) > 8:
+        # Measured: pack=16 makes Mosaic emit an executable too large to
+        # compile (each packed image unrolls the full stage chain); reject
+        # up front with an actionable error instead of a backend ICE.
+        raise ValueError(
+            f"pack/interleave > 8 is unsupported (got pack={pack}, "
+            f"interleave={interleave}): the per-image unroll makes the "
+            "Mosaic executable exceed its size limit. Use <= 8 and let the "
+            "grid cover the batch.")
     if interleave > 1:
         kernel = functools.partial(_rdb_ct_pipe_kernel, nf=nf, gc=gc, H=h,
                                    W=w, il=interleave, slope=slope,
                                    res_scale=res_scale,
-                                   rrdb_scale=rrdb_scale)
+                                   rrdb_scale=rrdb_scale,
+                                   save=save_residuals,
+                                   noise_sigma=noise_sigma)
         pack = interleave  # block/grid sizing below is shared
     else:
+        assert not (save_residuals and split_dots)
         kernel = functools.partial(_rdb_ct_kernel, nf=nf, gc=gc, H=h, W=w,
                                    pack=pack, slope=slope,
                                    res_scale=res_scale,
                                    rrdb_scale=rrdb_scale,
-                                   split_dots=split_dots)
+                                   split_dots=split_dots,
+                                   save=save_residuals,
+                                   noise_sigma=noise_sigma)
     vfull = lambda shape: pl.BlockSpec(shape, lambda g: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    img = lambda: pl.BlockSpec((nf, pack * m_img), lambda g: (0, g),
-                               memory_space=pltpu.VMEM)
+    img = lambda rows=None: pl.BlockSpec((rows or nf, pack * m_img),
+                                         lambda g: (0, g),
+                                         memory_space=pltpu.VMEM)
     in_specs = [
         img(),
         vfull(w1.shape), vfull(w2.shape), vfull(w3.shape),
@@ -367,13 +454,27 @@ def rdb_ct(x, w1, w2, w3, w4, w5, bias, res=None, *, nf: int, gc: int,
         args.append(res)
     else:
         assert rrdb_scale is None
+    if noise_sigma is not None:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(noise_seed)
+    out_specs = img()
+    out_shape = jax.ShapeDtypeStruct((nf, mtot), x.dtype)
+    if save_residuals:
+        out_specs = (out_specs, img(6 * gc))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((6 * gc, mtot), x.dtype))
+    # alias_res: the RRDB-epilogue call's res input (the block input h0, dead
+    # after this call) donates its buffer to the output — inside lax.scan the
+    # new carry then lands IN the old carry's buffer and XLA's per-iteration
+    # [nf, B·h·w] carry copy disappears (measured 4.7 ms/forward at batch 32).
+    aliases = {7: 0} if (alias_res and res is not None) else {}  # res -> out
     return pl.pallas_call(
         kernel,
         grid=(n_img // pack,),
         in_specs=in_specs,
-        out_specs=img(),
-        out_shape=jax.ShapeDtypeStruct((nf, mtot), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((ktot, pack * m_img), x.dtype)],
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
@@ -487,21 +588,37 @@ def conv3x3_ct(x, wm, bias=None, res=None, *, cin: int, cout: int, h: int,
 # ---------------------------------------------------------------------------
 
 
-def _rdb_ct_bwd_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, g_ref,
-                       dx_ref, dw1_ref, dw2_ref, dw3_ref, dw4_ref, dw5_ref,
-                       db_ref, im_ref, dim_ref, *,
+def _rdb_ct_bwd_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, g_ref, sv_ref,
+                       *rest,
                        nf: int, gc: int, H: int, W: int, pack: int,
-                       slope: float, res_scale: float):
+                       slope: float, res_scale: float,
+                       noise_sigma: Optional[float] = None,
+                       noise_detach: bool = False):
     """Adjoint of ``_rdb_ct_kernel`` for one image group; dW/db accumulate
     across the grid (f32 output blocks revisited every step). Same structure
     as ``rdb_t._rdb_t_bwd_kernel`` but in the column-merged decomposition:
     the combine's adjoint scatters the cotangent into the three column-tap
     row groups (two masked lane-shifts), ``dW'_k = dY'_k · IM3ᵀ`` emits
     3·S rows per MXU pass instead of S, and the tap-append adjoint sums
-    three reverse row-shifts instead of nine."""
+    three reverse row-shifts instead of nine. The stage-1..4 forward is NOT
+    recomputed: the forward's ``save_residuals`` output (``sv_ref``, rows
+    x1|l2|x2|x3|l4|x4) rebuilds IM3 bit-exactly with VPU tap-appends only,
+    and the lrelu masks come from the saved pre-residual activations' signs
+    (lrelu preserves sign) — 12 of the 56 MXU pass-tiles gone.
+
+    With ``noise_sigma`` the forward applied in-kernel hardware-RNG noise
+    y = out·(1+σn); the adjoint re-seeds the PRNG identically and scales the
+    incoming cotangent by (1+σn) up front (detach variant: no scaling)."""
+    rest = list(rest)
+    seed_ref = rest.pop(0) if noise_sigma is not None else None
+    (dx_ref, dw1_ref, dw2_ref, dw3_ref, dw4_ref, dw5_ref, db_ref,
+     im_ref, dim_ref) = rest
     M = pack * H * W
     dt = x_ref.dtype
     f32 = jnp.float32
+    if noise_sigma is not None and not noise_detach:
+        _seed_prng(seed_ref)
+        noise_fac = 1.0 + noise_sigma * _kernel_normal((nf, M))
 
     maskl, maskr = _col_masks(M, W, f32)
     rmask = _row_masks(M, H * W, W, dt, packed=pack > 1)
@@ -546,32 +663,23 @@ def _rdb_ct_bwd_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, g_ref,
         return jnp.concatenate([
             _lane_shift(dy * maskl, 1), dy, _lane_shift(dy * maskr, -1)], 0)
 
-    def full_dot(w_ref, k: int):
-        return jnp.dot(w_ref[:], im_ref[0:off3(k), :],
-                       preferred_element_type=f32)
-
-    lrelu = lambda t: jnp.where(t >= 0, t, t * slope)
     dlrelu = lambda m, t: jnp.where(m, t, t * slope)
 
-    # ---- forward recompute (same math/rounding as _rdb_ct_kernel) ----
+    # ---- IM3 rebuild from the forward's saved residuals (VPU only) ----
     x = x_ref[:]
+    sgn = lambda v: v.astype(f32) >= 0     # bf16 compares unsupported on TPU
     append3(x, 0, nf)
-    z1 = combine(full_dot(w1, 1), gc) + stage_b(1, gc)
-    m1 = z1 >= 0
-    x1 = lrelu(z1).astype(dt)
+    x1 = sv_ref[0 * gc:1 * gc, :]
+    m1 = sgn(x1)
     append3(x1, off3(1), gc)
-    Y2 = full_dot(w2, 2)
-    z2 = combine(Y2, gc) + stage_b(2, gc)
-    m2 = z2 >= 0
-    x2 = (lrelu(z2) + Y2[3 * gc:4 * gc]).astype(dt)
+    x2 = sv_ref[2 * gc:3 * gc, :]
+    m2 = sgn(sv_ref[1 * gc:2 * gc, :])     # sign of l2 = lrelu(z2)
     append3(x2, off3(2), gc)
-    z3 = combine(full_dot(w3, 3), gc) + stage_b(3, gc)
-    m3 = z3 >= 0
-    x3 = lrelu(z3).astype(dt)
+    x3 = sv_ref[3 * gc:4 * gc, :]
+    m3 = sgn(x3)
     append3(x3, off3(3), gc)
-    z4 = combine(full_dot(w4, 4), gc) + stage_b(4, gc)
-    m4 = z4 >= 0
-    x4 = (lrelu(z4) + x2.astype(f32)).astype(dt)
+    x4 = sv_ref[5 * gc:6 * gc, :]
+    m4 = sgn(sv_ref[4 * gc:5 * gc, :])     # sign of l4 = lrelu(z4)
     append3(x4, off3(4), gc)
     # (x5 / out are not needed by the adjoint)
 
@@ -602,6 +710,8 @@ def _rdb_ct_bwd_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, g_ref,
             dim_ref[0:off3(k), :] = dim_ref[0:off3(k), :] + v
 
     g = g_ref[:].astype(f32)
+    if noise_sigma is not None and not noise_detach:
+        g = g * noise_fac
 
     # out = x5·β + x; x5 = combine(Y5) + b5
     dz5 = g * res_scale
@@ -654,10 +764,14 @@ def _rdb_ct_bwd_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, g_ref,
 
 @functools.partial(jax.jit, static_argnames=("nf", "gc", "h", "w", "n_img",
                                              "pack", "slope", "res_scale",
+                                             "noise_sigma", "noise_detach",
                                              "interpret"))
-def _rdb_ct_bwd(x, w1, w2, w3, w4, w5, bias, g, *, nf: int, gc: int,
+def _rdb_ct_bwd(x, w1, w2, w3, w4, w5, bias, g, sv, noise_seed=None, *,
+                nf: int, gc: int,
                 h: int, w: int, n_img: int, pack: Optional[int] = None,
-                slope: float, res_scale: float, interpret: bool = False):
+                slope: float, res_scale: float,
+                noise_sigma: Optional[float] = None,
+                noise_detach: bool = False, interpret: bool = False):
     cin, mtot = x.shape
     m_img = h * w
     ktot = 3 * (nf + 4 * gc)
@@ -665,11 +779,14 @@ def _rdb_ct_bwd(x, w1, w2, w3, w4, w5, bias, g, *, nf: int, gc: int,
         pack = 1
     assert n_img % pack == 0, (n_img, pack)
     kernel = functools.partial(_rdb_ct_bwd_kernel, nf=nf, gc=gc, H=h, W=w,
-                               pack=pack, slope=slope, res_scale=res_scale)
+                               pack=pack, slope=slope, res_scale=res_scale,
+                               noise_sigma=noise_sigma,
+                               noise_detach=noise_detach)
     vfull = lambda shape: pl.BlockSpec(shape, lambda g: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    img = lambda: pl.BlockSpec((nf, pack * m_img), lambda g: (0, g),
-                               memory_space=pltpu.VMEM)
+    img = lambda rows=None: pl.BlockSpec((rows or nf, pack * m_img),
+                                         lambda g: (0, g),
+                                         memory_space=pltpu.VMEM)
     f32 = jnp.float32
     out_shapes = (
         jax.ShapeDtypeStruct((nf, mtot), x.dtype),            # dx
@@ -689,7 +806,9 @@ def _rdb_ct_bwd(x, w1, w2, w3, w4, w5, bias, g, *, nf: int, gc: int,
             vfull(w1.shape), vfull(w2.shape), vfull(w3.shape),
             vfull(w4.shape), vfull(w5.shape), vfull(bias.shape),
             img(),
-        ],
+            img(6 * gc),
+        ] + ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+             if noise_sigma is not None else []),
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[pltpu.VMEM((ktot, pack * m_img), x.dtype),
@@ -697,40 +816,56 @@ def _rdb_ct_bwd(x, w1, w2, w3, w4, w5, bias, g, *, nf: int, gc: int,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(x, w1, w2, w3, w4, w5, bias, g)
+    )(x, w1, w2, w3, w4, w5, bias, g, sv,
+      *([] if noise_sigma is None else [noise_seed]))
 
 
 @functools.lru_cache(maxsize=None)
 def _make_rdb_ct_diff(nf: int, gc: int, h: int, w: int, n_img: int,
                       fwd_interleave, bwd_pack, slope: float,
-                      res_scale: float, interpret: bool):
+                      res_scale: float, noise_sigma, noise_detach: bool,
+                      interpret: bool):
+    nkw = dict(noise_sigma=noise_sigma)
+
     @jax.custom_vjp
-    def f(x, w1, w2, w3, w4, w5, bias):
+    def f(x, w1, w2, w3, w4, w5, bias, seed):
         kdt = x.dtype
         ws = tuple(wi.astype(kdt) for wi in (w1, w2, w3, w4, w5))
-        return rdb_ct(x, *ws, bias, nf=nf, gc=gc, h=h, w=w, n_img=n_img,
-                      interleave=fwd_interleave, slope=slope,
+        return rdb_ct(x, *ws, bias, noise_seed=seed, nf=nf, gc=gc, h=h, w=w,
+                      n_img=n_img, interleave=fwd_interleave, slope=slope,
                       res_scale=res_scale, split_dots=False,
-                      interpret=interpret)
+                      interpret=interpret, **nkw)
 
-    def fwd(x, w1, w2, w3, w4, w5, bias):
-        return f(x, w1, w2, w3, w4, w5, bias), (x, w1, w2, w3, w4, w5, bias)
+    def fwd(x, w1, w2, w3, w4, w5, bias, seed):
+        kdt = x.dtype
+        ws = tuple(wi.astype(kdt) for wi in (w1, w2, w3, w4, w5))
+        out, sv = rdb_ct(x, *ws, bias, noise_seed=seed, nf=nf, gc=gc, h=h,
+                         w=w, n_img=n_img, interleave=fwd_interleave,
+                         slope=slope, res_scale=res_scale, split_dots=False,
+                         save_residuals=True, interpret=interpret, **nkw)
+        return out, (x, sv, w1, w2, w3, w4, w5, bias, seed)
 
     def bwd(res, g):
-        x, w1, w2, w3, w4, w5, bias = res
+        x, sv, w1, w2, w3, w4, w5, bias, seed = res
         kdt = x.dtype
         ws = tuple(wi.astype(kdt) for wi in (w1, w2, w3, w4, w5))
         outs = _rdb_ct_bwd(x, *ws, bias.astype(jnp.float32), g.astype(kdt),
-                           nf=nf, gc=gc, h=h, w=w, n_img=n_img, pack=bwd_pack,
-                           slope=slope, res_scale=res_scale,
-                           interpret=interpret)
+                           sv, seed, nf=nf, gc=gc, h=h, w=w, n_img=n_img,
+                           pack=bwd_pack, slope=slope, res_scale=res_scale,
+                           noise_detach=noise_detach, interpret=interpret,
+                           **nkw)
         # Same scoped-vmem fusion trap as rdb_t (see rdb_t._make_rdb_t_diff):
         # keep the pallas call out of lax.scan's gradient-stacking fusion.
         outs = jax.lax.optimization_barrier(outs)
         dx, dw1, dw2, dw3, dw4, dw5, dbias = outs
         grads = (dw1, dw2, dw3, dw4, dw5, dbias)
         prim = (w1, w2, w3, w4, w5, bias)
-        return (dx,) + tuple(dg.astype(p.dtype) for dg, p in zip(grads, prim))
+        import numpy as np
+
+        seed_ct = (None if seed is None
+                   else np.zeros(seed.shape, jax.dtypes.float0))
+        return (dx,) + tuple(dg.astype(p.dtype)
+                             for dg, p in zip(grads, prim)) + (seed_ct,)
 
     f.defvjp(fwd, bwd)
     return f
@@ -739,11 +874,16 @@ def _make_rdb_ct_diff(nf: int, gc: int, h: int, w: int, n_img: int,
 def rdb_ct_diff(x, w1, w2, w3, w4, w5, bias, *, nf: int, gc: int, h: int,
                 w: int, n_img: int = 1, fwd_interleave: Optional[int] = None,
                 bwd_pack: Optional[int] = None, slope: float = 0.2,
-                res_scale: float = 0.2, interpret: bool = False):
+                res_scale: float = 0.2, noise_seed=None,
+                noise_sigma: Optional[float] = None,
+                noise_detach: bool = False, interpret: bool = False):
     """Differentiable column-merged RDB: forward = :func:`rdb_ct`, backward =
     ``_rdb_ct_bwd``. Pass weights in the master (f32) dtype — they are cast
     to ``x.dtype`` for compute inside, and gradients come back in the master
-    dtype (f32 batch accumulation inside the kernel)."""
+    dtype (f32 batch accumulation inside the kernel). ``noise_sigma`` +
+    ``noise_seed`` apply the nESRGAN+ relative noise in-kernel via the
+    hardware PRNG (TPU only; the backward replays the same bits)."""
     fn = _make_rdb_ct_diff(nf, gc, h, w, n_img, fwd_interleave, bwd_pack,
-                           slope, res_scale, interpret)
-    return fn(x, w1, w2, w3, w4, w5, bias)
+                           slope, res_scale, noise_sigma, noise_detach,
+                           interpret)
+    return fn(x, w1, w2, w3, w4, w5, bias, noise_seed)

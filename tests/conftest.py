@@ -8,14 +8,18 @@ platform at interpreter startup, so we also force the platform through jax.confi
 
 import os
 
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+if not os.environ.get("JAX_REAL_TPU"):
+    # JAX_REAL_TPU=1 opts out (tests/test_tpu_kernels.py — real-chip-only
+    # validations of the pltpu.prng noise path, which has no CPU lowering).
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("JAX_REAL_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: repeated suite runs skip recompilation
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
