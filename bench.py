@@ -5,10 +5,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Protocol: RRDBNet nb=23 nf=64 gc=32 (16.8M params, the ESRGAN+ flagship), bf16
 compute / fp32 MXU accumulation, batched 128×128 LR inputs → 512×512 outputs,
 steady state after warmup. Metric is output megapixels per second per chip.
-Batch 32 (measured best: 16 → 48.8, 32 → 50.5 MPix/s; 64 compiles too slowly
-on this toolchain). The trunk runs the column-merged transposed-layout Pallas
-RDB kernel (esrganplus_tpu/kernels/rdb_ct.py, two images software-pipelined
-per grid step); upsample-tail convs run through XLA.
+Batch 64 (round-3 sweep: 16 → 53.4, 32 → 56.2, 64 → 57.8 MPix/s; the old
+batch-64 compile cliff died with the XLA tail — the stripe-grid tail kernels
+are VMEM/compile-flat in batch). The trunk runs the column-merged
+transposed-layout Pallas RDB kernel (esrganplus_tpu/kernels/rdb_ct.py, two
+images software-pipelined per grid step, scan-carry aliased); the upsample
+tail runs the column-phase-plane kernels (kernels/tail_ct.py) end to end in
+the trunk's [C, pixels] layout.
 
 Baseline (A100 PyTorch, pinned 6.0 MPix/s) — measured anchor + derivation:
 
@@ -47,9 +50,18 @@ def main(argv=None):
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of one timed chain "
                          "into DIR (view: tensorboard --logdir DIR)")
+    ap.add_argument("--batch", type=int, default=64,
+                    help="LR batch size (sweep with e.g. "
+                         "'for b in 16 32 64; do python bench.py --batch $b; done')")
     args = ap.parse_args(argv)
 
+    import os
+
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
     import jax.numpy as jnp
 
     from esrganplus_tpu.models import RRDBNetConfig, init_rrdbnet, rrdbnet_forward
@@ -57,7 +69,7 @@ def main(argv=None):
     cfg = RRDBNetConfig()
     params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
 
-    batch, lr_size, iters = 32, 128, 6
+    batch, lr_size, iters = args.batch, 128, 6
     x = jax.random.uniform(jax.random.PRNGKey(1), (batch, lr_size, lr_size, 3), jnp.float32)
 
     import functools

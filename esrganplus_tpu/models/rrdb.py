@@ -71,6 +71,18 @@ class RRDBNetConfig:
     # the XLA graph otherwise (fp32 checkpoint-parity, CPU). "xla" /
     # "pallas" force a path.
     trunk_kernel: str = "auto"
+    # Upsample-tail path for inference: "auto" keeps the trunk's [C, pixels]
+    # layout through up1/up2/hr0/hr1 via the column-phase-plane kernels
+    # (kernels/tail_ct.py) whenever the Pallas trunk is active and the tail
+    # is the standard ×2ⁿ leakyrelu topology; "xla" forces the NHWC graph.
+    tail_kernel: str = "auto"
+    # nESRGAN+ noise generation site for rbg-keyed TPU training: "xla"
+    # (default — XLA's RngBitGenerator fusions, 2.3 ms/step at flagship
+    # crops) or "fused" (in-kernel pltpu hardware PRNG with bit-replaying
+    # VJP — measured SLOWER at 3.4 ms/step: Box-Muller's log/cos on the VPU
+    # costs more than the rbg fusions, and the backward replay pays it
+    # twice; kept as validated opt-in infrastructure, see NOTES_ROUND3.md).
+    noise_kernel: str = "xla"
 
     @property
     def n_upscale_stages(self) -> int:
@@ -244,9 +256,52 @@ def _use_pallas_trunk(cfg: RRDBNetConfig, train: bool, dtype, h: int, w: int) ->
     return im3_bytes <= 96 * 1024 * 1024
 
 
+def _use_pallas_tail(cfg: RRDBNetConfig) -> bool:
+    """Gate for the transposed-layout tail (inference, after a Pallas trunk):
+    ×2ⁿ nearest-upconv topology with leakyrelu — the standard RRDBNet tail."""
+    if cfg.tail_kernel == "xla":
+        return False
+    return cfg.upscale in (2, 4) and cfg.act_type == "leakyrelu"
+
+
+def _tail_pallas(params: Params, xt: jnp.ndarray, cfg: RRDBNetConfig, kdt,
+                 b: int, h: int, w: int) -> jnp.ndarray:
+    """[nf, B·h·w] trunk output → NHWC f32 SR image via the column-phase
+    tail kernels (kernels/tail_ct.py): fused nearest-×2+conv+lrelu stages,
+    then hr_conv0+hr_conv1 in one kernel. Channels never touch the lane
+    dimension, no pixel-shuffle relayouts of 64-channel HR tensors."""
+    from esrganplus_tpu.kernels.tail_ct import (
+        conv_hr_ct,
+        prepare_convxp_ct,
+        prepare_upfold_ct,
+        unphase_columns,
+        upfold_ct,
+    )
+
+    interp = jax.default_backend() == "cpu"
+    planes = [xt]                           # P=1 plane [nf, B·h·w]
+    P, H, packed = 1, h, False
+    for up in params["upconvs"]:
+        wd, bias = prepare_upfold_ct(up["w"], up["b"], P, dtype=kdt)
+        planes = upfold_ct(planes, wd, bias, C=cfg.nf, P=P, h=H, w=w,
+                           n_img=b, slope=cfg.act_slope, packed_in=packed,
+                           interpret=interp)
+        P, H, packed = 2 * P, 2 * H, True   # y-phases stay row-packed
+    wm0, b0 = prepare_convxp_ct(params["hr_conv0"]["w"],
+                                params["hr_conv0"]["b"], P, dtype=kdt)
+    wm1, b1 = prepare_convxp_ct(params["hr_conv1"]["w"],
+                                params["hr_conv1"]["b"], P, dtype=kdt)
+    planes = conv_hr_ct(planes, wm0, b0, wm1, b1, C=cfg.nf, P=P,
+                        CO2=cfg.out_nc, h=H, w=w, n_img=b,
+                        slope=cfg.act_slope, packed_in=packed,
+                        interpret=interp)
+    return unphase_columns(planes, b, H, w).astype(jnp.float32)
+
+
 def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
                   dtype, *, train: bool = False,
-                  block_keys=None, trunk_conv: Optional[Params] = None) -> jnp.ndarray:
+                  block_keys=None, trunk_conv: Optional[Params] = None,
+                  as_planes: bool = False) -> jnp.ndarray:
     """Run the nb-RRDB trunk through the fused transposed RDB kernel.
 
     Training uses the custom-VJP variant (weights crossing the boundary in
@@ -283,6 +338,23 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
             jax.lax.stop_gradient(ht) if cfg.noise_relative_detach else ht)
         return ht + nt * scale
 
+    # In-kernel hardware-RNG noise for the per-RDB sites (opt-in via
+    # cfg.noise_kernel="fused" — measured slower than the XLA rbg fusions,
+    # see the config field note). Only under the non-reproducible "rbg"
+    # contract — threefry keys keep the XLA draw for bitwise replay — and
+    # only on a real TPU (pltpu.prng has no interpret-mode lowering).
+    try:
+        key_impl = str(jax.random.key_impl(block_keys))
+    except Exception:
+        key_impl = "threefry2x32"
+    fused_noise = (noisy and cfg.rdb_noise and not interp
+                   and cfg.noise_kernel == "fused"
+                   and not key_impl.startswith("threefry"))
+
+    def site_seed(key):
+        kd = jax.random.key_data(key).reshape(-1)[:2]
+        return jax.lax.bitcast_convert_type(kd.astype(jnp.uint32), jnp.int32)
+
     kw = dict(nf=cfg.nf, gc=cfg.gc, h=h, w=w, n_img=b, slope=cfg.act_slope,
               res_scale=cfg.res_scale, interpret=interp)
     # software-pipeline several images per grid step when the batch and VMEM
@@ -304,9 +376,16 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
             hcur = rdb_ct(hcur, *ws3["rdb1"], interleave=il, **kw)
             hcur = rdb_ct(hcur, *ws3["rdb2"], interleave=il, **kw)
             return rdb_ct(hcur, *ws3["rdb3"], h0, rrdb_scale=cfg.res_scale,
-                          interleave=il, **kw), None
+                          interleave=il, alias_res=True, **kw), None
         ks = jax.random.split(key, 4)
         for i, name in enumerate(("rdb1", "rdb2", "rdb3")):
+            if fused_noise:
+                hcur = rdb_ct_diff(hcur, *ws3[name], fwd_interleave=il,
+                                   bwd_pack=il, noise_seed=site_seed(ks[i]),
+                                   noise_sigma=float(cfg.noise_sigma),
+                                   noise_detach=cfg.noise_relative_detach,
+                                   **kw)
+                continue
             hcur = rdb_ct_diff(hcur, *ws3[name], fwd_interleave=il,
                                bwd_pack=il, **kw)
             if noisy and cfg.rdb_noise:
@@ -325,6 +404,8 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
                                          dtype=kdt)
         out = conv3x3_ct(out, wm, bm, xt, cin=nf, cout=nf, h=h, w=w,
                          n_img=b, interleave=il, interpret=interp)
+    if as_planes:
+        return out                          # stay [nf, B·h·w] for _tail_pallas
     return out.reshape(nf, b, h, w).transpose(1, 2, 3, 0)
 
 
@@ -353,9 +434,16 @@ def rrdbnet_forward(params: Params, x: jnp.ndarray, cfg: RRDBNetConfig, *,
             fea = fea + conv2d(trunk, params["trunk_conv"], dtype=dtype)
         else:
             # trunk_conv + global residual folded into the kernel path
-            fea = _trunk_pallas(params["trunk"], fea, cfg, dtype, train=False,
-                                block_keys=block_keys,
-                                trunk_conv=params["trunk_conv"])
+            tail = _use_pallas_tail(cfg)
+            out_t = _trunk_pallas(params["trunk"], fea, cfg, dtype,
+                                  train=False, block_keys=block_keys,
+                                  trunk_conv=params["trunk_conv"],
+                                  as_planes=tail)
+            if tail:
+                kdt = dtype if dtype is not None else fea.dtype
+                b, h, w = x.shape[0], x.shape[1], x.shape[2]
+                return _tail_pallas(params, out_t, cfg, kdt, b, h, w)
+            fea = out_t
     else:
         def body(h, xs):
             block_params, key = xs
