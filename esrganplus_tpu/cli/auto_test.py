@@ -16,6 +16,8 @@ import tempfile
 
 
 def main(argv=None):
+    from esrganplus_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("-opt", required=True, help="base test option JSON")
     ap.add_argument("--models-root", default="experiments")

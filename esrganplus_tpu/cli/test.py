@@ -18,6 +18,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from esrganplus_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("-opt", required=True, help="path to option JSON file")
     args = ap.parse_args(argv)

@@ -15,6 +15,8 @@ import time
 
 
 def main(argv=None):
+    from esrganplus_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser(description="ESRGAN+ one-shot inference (TPU)")
     ap.add_argument("model", help="path to RRDBNet .pth checkpoint")
     ap.add_argument("--input", default="LR", help="input image dir")

@@ -26,6 +26,8 @@ BGR_MEANS = (103.939, 116.779, 123.68)
 
 
 def main(argv=None):
+    from esrganplus_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("model", help="segmentation .pth checkpoint")
     ap.add_argument("--input", required=True, help="HR image folder")

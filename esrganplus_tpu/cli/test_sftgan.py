@@ -18,6 +18,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from esrganplus_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("model", help="SFT_Net .pth checkpoint")
     ap.add_argument("--input", required=True, help="HR image folder")

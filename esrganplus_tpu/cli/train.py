@@ -49,6 +49,8 @@ def _get_tb_writer(log_dir: str):
 
 
 def main(argv=None):
+    from esrganplus_tpu.utils.misc import enable_compile_cache
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("-opt", required=True, help="path to option JSON file")
     ap.add_argument("--profile", metavar="DIR", default=None,

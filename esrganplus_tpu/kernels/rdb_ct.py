@@ -144,14 +144,16 @@ def _rdb_ct_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
                    nf: int, gc: int, H: int, W: int, pack: int, slope: float,
                    res_scale: float, rrdb_scale: Optional[float] = None,
                    split_dots: bool = True, save: bool = False,
-                   noise_sigma: Optional[float] = None):
+                   noise_sigma: Optional[float] = None,
+                   noise_input: bool = False):
     rest = list(rest)
     res_ref = rest.pop(0) if rrdb_scale is not None else None
     seed_ref = rest.pop(0) if noise_sigma is not None else None
     o_ref = rest.pop(0)
     sv_ref = rest.pop(0) if save else None
     (im_ref,) = rest
-    if noise_sigma is not None:
+    nz = None
+    if noise_sigma is not None and not noise_input:
         # draw before any compute so the backward replays identical bits
         _seed_prng(seed_ref)
         nz = _kernel_normal((nf, pack * H * W))
@@ -254,12 +256,18 @@ def _rdb_ct_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
     out = x5 * res_scale + x.astype(f32)
     if rrdb_scale is not None:
         out = out * rrdb_scale + res_ref[:].astype(f32)
-    if noise_sigma is not None:
+    if noise_sigma is not None and not noise_input:
         # nESRGAN+ relative noise on the block output: out·(1 + σn). The
         # forward is identical for the detach variant (detach only changes
         # the adjoint); realisation contract is "rbg" (hardware RNG).
         out = out * (1.0 + noise_sigma * nz)
-    o_ref[:] = out.astype(dt)
+    outd = out.astype(dt)
+    if noise_sigma is not None and noise_input:
+        # pre-drawn noise rides in through seed_ref ([nf, M] VMEM); the
+        # arithmetic matches the XLA path's ht + n·(σ·ht) in the kernel
+        # dtype bit-for-bit, so switching noise_kernel never changes values.
+        outd = outd + seed_ref[:] * (noise_sigma * outd)
+    o_ref[:] = outd
 
 
 def _rdb_ct_pipe_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
@@ -267,7 +275,8 @@ def _rdb_ct_pipe_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
                         slope: float, res_scale: float,
                         rrdb_scale: Optional[float] = None,
                         save: bool = False,
-                        noise_sigma: Optional[float] = None):
+                        noise_sigma: Optional[float] = None,
+                        noise_input: bool = False):
     """``il``-image software-pipelined variant: each grid step holds ``il``
     independent images; every stage emits ALL images' dots (MXU) before any
     image's combine/append (VPU), so Mosaic's scheduler can run image B's
@@ -284,7 +293,8 @@ def _rdb_ct_pipe_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
     m = H * W
     dt = x_ref.dtype
     f32 = jnp.float32
-    if noise_sigma is not None:
+    nz = None
+    if noise_sigma is not None and not noise_input:
         _seed_prng(seed_ref)
         nz = _kernel_normal((nf, il * m))
 
@@ -351,9 +361,14 @@ def _rdb_ct_pipe_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
         out = x5 * res_scale + xs[i].astype(f32)
         if rrdb_scale is not None:
             out = out * rrdb_scale + res_ref[:, im(i)].astype(f32)
-        if noise_sigma is not None:
+        if noise_sigma is not None and not noise_input:
             out = out * (1.0 + noise_sigma * nz[:, im(i)])
-        o_ref[:, im(i)] = out.astype(dt)
+        outd = out.astype(dt)
+        if noise_sigma is not None and noise_input:
+            # pre-drawn noise input (see _rdb_ct_kernel): bit-matches the
+            # XLA path's ht + n·(σ·ht) in the kernel dtype.
+            outd = outd + seed_ref[:, im(i)] * (noise_sigma * outd)
+        o_ref[:, im(i)] = outd
 
     # Stage-synchronous emission: all images' stage-k dots (MXU), then all
     # images' stage-k combine/append (VPU). A fully SKEWED order (dotA1,
@@ -381,15 +396,16 @@ def _rdb_ct_pipe_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, *rest,
                                              "pack", "slope", "res_scale",
                                              "rrdb_scale", "split_dots",
                                              "interleave", "save_residuals",
-                                             "noise_sigma", "alias_res",
-                                             "interpret"))
+                                             "noise_sigma", "noise_input",
+                                             "alias_res", "interpret"))
 def rdb_ct(x, w1, w2, w3, w4, w5, bias, res=None, noise_seed=None, *,
            nf: int, gc: int,
            h: int, w: int, n_img: int = 1, pack: Optional[int] = None,
            slope: float = 0.2, res_scale: float = 0.2,
            rrdb_scale: Optional[float] = None, split_dots: bool = True,
            interleave: Optional[int] = None, save_residuals: bool = False,
-           noise_sigma: Optional[float] = None, alias_res: bool = False,
+           noise_sigma: Optional[float] = None, noise_input: bool = False,
+           alias_res: bool = False,
            interpret: bool = False):
     """Column-merged fused RDB forward: x ``[nf, n_img·H·W]`` → same shape.
 
@@ -426,7 +442,8 @@ def rdb_ct(x, w1, w2, w3, w4, w5, bias, res=None, noise_seed=None, *,
                                    res_scale=res_scale,
                                    rrdb_scale=rrdb_scale,
                                    save=save_residuals,
-                                   noise_sigma=noise_sigma)
+                                   noise_sigma=noise_sigma,
+                                   noise_input=noise_input)
         pack = interleave  # block/grid sizing below is shared
     else:
         assert not (save_residuals and split_dots)
@@ -436,7 +453,8 @@ def rdb_ct(x, w1, w2, w3, w4, w5, bias, res=None, noise_seed=None, *,
                                    rrdb_scale=rrdb_scale,
                                    split_dots=split_dots,
                                    save=save_residuals,
-                                   noise_sigma=noise_sigma)
+                                   noise_sigma=noise_sigma,
+                                   noise_input=noise_input)
     vfull = lambda shape: pl.BlockSpec(shape, lambda g: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     img = lambda rows=None: pl.BlockSpec((rows or nf, pack * m_img),
@@ -455,7 +473,10 @@ def rdb_ct(x, w1, w2, w3, w4, w5, bias, res=None, noise_seed=None, *,
     else:
         assert rrdb_scale is None
     if noise_sigma is not None:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        # noise_input: noise_seed is the pre-drawn [nf, mtot] noise tensor
+        # (VMEM, per-image blocks); otherwise the 2-word PRNG seed (SMEM).
+        in_specs.append(img() if noise_input
+                        else pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(noise_seed)
     out_specs = img()
     out_shape = jax.ShapeDtypeStruct((nf, mtot), x.dtype)
@@ -593,7 +614,8 @@ def _rdb_ct_bwd_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, g_ref, sv_ref,
                        nf: int, gc: int, H: int, W: int, pack: int,
                        slope: float, res_scale: float,
                        noise_sigma: Optional[float] = None,
-                       noise_detach: bool = False):
+                       noise_detach: bool = False,
+                       noise_input: bool = False):
     """Adjoint of ``_rdb_ct_kernel`` for one image group; dW/db accumulate
     across the grid (f32 output blocks revisited every step). Same structure
     as ``rdb_t._rdb_t_bwd_kernel`` but in the column-merged decomposition:
@@ -617,8 +639,11 @@ def _rdb_ct_bwd_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, g_ref, sv_ref,
     dt = x_ref.dtype
     f32 = jnp.float32
     if noise_sigma is not None and not noise_detach:
-        _seed_prng(seed_ref)
-        noise_fac = 1.0 + noise_sigma * _kernel_normal((nf, M))
+        if noise_input:
+            noise_fac = 1.0 + noise_sigma * seed_ref[:].astype(f32)
+        else:
+            _seed_prng(seed_ref)
+            noise_fac = 1.0 + noise_sigma * _kernel_normal((nf, M))
 
     maskl, maskr = _col_masks(M, W, f32)
     rmask = _row_masks(M, H * W, W, dt, packed=pack > 1)
@@ -765,13 +790,14 @@ def _rdb_ct_bwd_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, g_ref, sv_ref,
 @functools.partial(jax.jit, static_argnames=("nf", "gc", "h", "w", "n_img",
                                              "pack", "slope", "res_scale",
                                              "noise_sigma", "noise_detach",
-                                             "interpret"))
+                                             "noise_input", "interpret"))
 def _rdb_ct_bwd(x, w1, w2, w3, w4, w5, bias, g, sv, noise_seed=None, *,
                 nf: int, gc: int,
                 h: int, w: int, n_img: int, pack: Optional[int] = None,
                 slope: float, res_scale: float,
                 noise_sigma: Optional[float] = None,
-                noise_detach: bool = False, interpret: bool = False):
+                noise_detach: bool = False, noise_input: bool = False,
+                interpret: bool = False):
     cin, mtot = x.shape
     m_img = h * w
     ktot = 3 * (nf + 4 * gc)
@@ -781,7 +807,8 @@ def _rdb_ct_bwd(x, w1, w2, w3, w4, w5, bias, g, sv, noise_seed=None, *,
     kernel = functools.partial(_rdb_ct_bwd_kernel, nf=nf, gc=gc, H=h, W=w,
                                pack=pack, slope=slope, res_scale=res_scale,
                                noise_sigma=noise_sigma,
-                               noise_detach=noise_detach)
+                               noise_detach=noise_detach,
+                               noise_input=noise_input)
     vfull = lambda shape: pl.BlockSpec(shape, lambda g: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     img = lambda rows=None: pl.BlockSpec((rows or nf, pack * m_img),
@@ -807,7 +834,7 @@ def _rdb_ct_bwd(x, w1, w2, w3, w4, w5, bias, g, sv, noise_seed=None, *,
             vfull(w4.shape), vfull(w5.shape), vfull(bias.shape),
             img(),
             img(6 * gc),
-        ] + ([pl.BlockSpec(memory_space=pltpu.SMEM)]
+        ] + ([img() if noise_input else pl.BlockSpec(memory_space=pltpu.SMEM)]
              if noise_sigma is not None else []),
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -824,8 +851,12 @@ def _rdb_ct_bwd(x, w1, w2, w3, w4, w5, bias, g, sv, noise_seed=None, *,
 def _make_rdb_ct_diff(nf: int, gc: int, h: int, w: int, n_img: int,
                       fwd_interleave, bwd_pack, slope: float,
                       res_scale: float, noise_sigma, noise_detach: bool,
-                      interpret: bool):
-    nkw = dict(noise_sigma=noise_sigma)
+                      noise_input: bool, interpret: bool):
+    nkw = dict(noise_sigma=noise_sigma, noise_input=noise_input)
+    # detach noise: the adjoint is the identity, so the backward kernel
+    # doesn't need the noise at all — don't DMA the [nf, M] tensor into it.
+    bwd_nkw = (dict(noise_sigma=None, noise_input=False)
+               if (noise_input and noise_detach) else nkw)
 
     @jax.custom_vjp
     def f(x, w1, w2, w3, w4, w5, bias, seed):
@@ -853,7 +884,7 @@ def _make_rdb_ct_diff(nf: int, gc: int, h: int, w: int, n_img: int,
                            sv, seed, nf=nf, gc=gc, h=h, w=w, n_img=n_img,
                            pack=bwd_pack, slope=slope, res_scale=res_scale,
                            noise_detach=noise_detach, interpret=interpret,
-                           **nkw)
+                           **bwd_nkw)
         # Same scoped-vmem fusion trap as rdb_t (see rdb_t._make_rdb_t_diff):
         # keep the pallas call out of lax.scan's gradient-stacking fusion.
         outs = jax.lax.optimization_barrier(outs)
@@ -862,8 +893,14 @@ def _make_rdb_ct_diff(nf: int, gc: int, h: int, w: int, n_img: int,
         prim = (w1, w2, w3, w4, w5, bias)
         import numpy as np
 
-        seed_ct = (None if seed is None
-                   else np.zeros(seed.shape, jax.dtypes.float0))
+        if seed is None:
+            seed_ct = None
+        elif noise_input:
+            # tensor-valued noise input: symbolic zero cotangent (the noise
+            # draw has no differentiable inputs upstream — XLA DCEs this)
+            seed_ct = jnp.zeros_like(seed)
+        else:
+            seed_ct = np.zeros(seed.shape, jax.dtypes.float0)
         return (dx,) + tuple(dg.astype(p.dtype)
                              for dg, p in zip(grads, prim)) + (seed_ct,)
 
@@ -876,14 +913,19 @@ def rdb_ct_diff(x, w1, w2, w3, w4, w5, bias, *, nf: int, gc: int, h: int,
                 bwd_pack: Optional[int] = None, slope: float = 0.2,
                 res_scale: float = 0.2, noise_seed=None,
                 noise_sigma: Optional[float] = None,
-                noise_detach: bool = False, interpret: bool = False):
+                noise_detach: bool = False, noise_input: bool = False,
+                interpret: bool = False):
     """Differentiable column-merged RDB: forward = :func:`rdb_ct`, backward =
     ``_rdb_ct_bwd``. Pass weights in the master (f32) dtype — they are cast
     to ``x.dtype`` for compute inside, and gradients come back in the master
     dtype (f32 batch accumulation inside the kernel). ``noise_sigma`` +
-    ``noise_seed`` apply the nESRGAN+ relative noise in-kernel via the
-    hardware PRNG (TPU only; the backward replays the same bits)."""
+    ``noise_seed`` apply the nESRGAN+ relative noise in-kernel: with
+    ``noise_input=False`` the seed is a 2-word PRNG seed and the hardware
+    RNG draws the bits (TPU only; the backward replays them); with
+    ``noise_input=True`` the seed IS the pre-drawn ``[nf, n_img·h·w]``
+    noise tensor in ``x.dtype`` — the epilogue multiply and the cotangent
+    scale ride inside the kernels (works in interpret mode too)."""
     fn = _make_rdb_ct_diff(nf, gc, h, w, n_img, fwd_interleave, bwd_pack,
                            slope, res_scale, noise_sigma, noise_detach,
-                           interpret)
+                           noise_input, interpret)
     return fn(x, w1, w2, w3, w4, w5, bias, noise_seed)

@@ -58,8 +58,14 @@ class RRDBNetConfig:
     noise_sigma: float = 0.1
     noise_relative_detach: bool = False
     res_scale: float = 0.2
-    # lax.scan unroll factor over the nb blocks.
-    unroll: int = 1
+    # Trunk unroll over the nb blocks. 0 = auto: TPU training through the
+    # Pallas trunk fully Python-unrolls (a scanned trunk pays ~3-4 ms/step
+    # in residual stack/unstack DUS copies; straight-line SSA avoids them —
+    # PSNR step 23.9 → 20.8 ms on v5e, one ~2.5 min XLA compile amortised
+    # by the persistent cache), everything else scans with unroll=1. An
+    # explicit n ≥ nb forces the Python unroll; 1 ≤ n < nb is the lax.scan
+    # unroll factor.
+    unroll: int = 0
     # Fused "by-source" RDB formulation (see _rdb_forward_fused): mathematically
     # identical weight regrouping that widens conv output channels from 32 to
     # 96-224 so the MXU's 128 lanes aren't 75% idle. Parity-tested vs the naive
@@ -76,13 +82,21 @@ class RRDBNetConfig:
     # (kernels/tail_ct.py) whenever the Pallas trunk is active and the tail
     # is the standard ×2ⁿ leakyrelu topology; "xla" forces the NHWC graph.
     tail_kernel: str = "auto"
-    # nESRGAN+ noise generation site for rbg-keyed TPU training: "xla"
-    # (default — XLA's RngBitGenerator fusions, 2.3 ms/step at flagship
-    # crops) or "fused" (in-kernel pltpu hardware PRNG with bit-replaying
-    # VJP — measured SLOWER at 3.4 ms/step: Box-Muller's log/cos on the VPU
-    # costs more than the rbg fusions, and the backward replay pays it
-    # twice; kept as validated opt-in infrastructure, see NOTES_ROUND3.md).
-    noise_kernel: str = "xla"
+    # nESRGAN+ noise application site for the Pallas trunk:
+    #  - "input" (default): XLA pre-draws the per-site noise tensor and the
+    #    RDB kernel applies the relative-noise multiply in its epilogue
+    #    (backward scales the cotangent at load). Same values as "xla"
+    #    bit-for-bit under threefry keys (NHWC draw order kept); under rbg
+    #    the draw happens directly in the kernel's [nf, M] layout (no
+    #    replay contract → free to skip the gather-transpose; 0.4 ms/step
+    #    faster on v5e). Works on CPU/interpret too.
+    #  - "xla": out = x·(1+σn) as XLA fusions between kernel calls
+    #    (bitwise-reproducible reference path).
+    #  - "fused": in-kernel pltpu hardware PRNG with bit-replaying VJP —
+    #    measured SLOWER (Box-Muller's log/cos on the VPU costs more than
+    #    the rbg fusions, and the backward replay pays it twice; kept as
+    #    validated opt-in infrastructure, see NOTES_ROUND3.md).
+    noise_kernel: str = "input"
 
     @property
     def n_upscale_stages(self) -> int:
@@ -350,6 +364,12 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
     fused_noise = (noisy and cfg.rdb_noise and not interp
                    and cfg.noise_kernel == "fused"
                    and not key_impl.startswith("threefry"))
+    # "input" mode: XLA pre-draws the per-site noise (same key schedule and
+    # NHWC draw order as the XLA path — bit-identical realisation, any key
+    # impl, works in interpret mode) and the kernel applies the relative-
+    # noise multiply in its epilogue; the backward scales the cotangent at
+    # load. Saves the out=x·(1+σn) HBM round trip and its adjoint fusion.
+    input_noise = (noisy and cfg.rdb_noise and cfg.noise_kernel == "input")
 
     def site_seed(key):
         kd = jax.random.key_data(key).reshape(-1)[:2]
@@ -386,6 +406,22 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
                                    noise_detach=cfg.noise_relative_detach,
                                    **kw)
                 continue
+            if input_noise:
+                if key_impl.startswith("threefry"):
+                    # reproducibility contract: same NHWC draw order as the
+                    # XLA path → bit-identical realisation
+                    n = jax.random.normal(ks[i], (b, h, w, nf), hcur.dtype)
+                    nt = n.transpose(3, 0, 1, 2).reshape(nf, b * h * w)
+                else:
+                    # rbg (no replay contract): draw straight in the kernel
+                    # layout — skips the gather-transpose fusion
+                    nt = jax.random.normal(ks[i], (nf, b * h * w), hcur.dtype)
+                hcur = rdb_ct_diff(hcur, *ws3[name], fwd_interleave=il,
+                                   bwd_pack=il, noise_seed=nt,
+                                   noise_sigma=float(cfg.noise_sigma),
+                                   noise_detach=cfg.noise_relative_detach,
+                                   noise_input=True, **kw)
+                continue
             hcur = rdb_ct_diff(hcur, *ws3[name], fwd_interleave=il,
                                bwd_pack=il, **kw)
             if noisy and cfg.rdb_noise:
@@ -395,7 +431,23 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
             out = apply_noise(out, ks[3])
         return out, None
 
-    out, _ = jax.lax.scan(body, xt, (ws, block_keys), unroll=cfg.unroll)
+    full_unroll = (train and not interp
+                   and (cfg.unroll == 0 or cfg.unroll >= cfg.nb))
+    if full_unroll:
+        # full Python unroll for TPU training (unroll=0 "auto" or >= nb): a
+        # lax.scan'd trunk pays ~3-4 ms per step in residual stack/unstack
+        # DUS copies (x, sv and noise residuals round-trip HBM through the
+        # [nb, ...] stacking buffers); straight-line code keeps them as
+        # plain SSA values. Measured on v5e @ batch 16 crops: PSNR step
+        # 23.9 → 20.8 ms, GAN 28.2. Mosaic compiles dedupe (identical
+        # shapes); XLA compile ≈ 2.5 min once, then the persistent cache.
+        out = xt
+        for ib in range(cfg.nb):
+            ws3_ib = jax.tree.map(lambda a: a[ib], ws)
+            out, _ = body(out, (ws3_ib, block_keys[ib]))
+    else:
+        out, _ = jax.lax.scan(body, xt, (ws, block_keys),
+                              unroll=max(1, cfg.unroll))
     if trunk_conv is not None:
         # fold the global-residual epilogue fea + conv3x3(trunk) into one
         # more kernel call while everything is still in the [C, M] layout
@@ -450,7 +502,7 @@ def rrdbnet_forward(params: Params, x: jnp.ndarray, cfg: RRDBNetConfig, *,
             return _rrdb_forward(h, block_params, cfg, key, train, dtype), None
 
         trunk, _ = jax.lax.scan(body, fea, (params["trunk"], block_keys),
-                                unroll=cfg.unroll)
+                                unroll=max(1, cfg.unroll))
         fea = fea + conv2d(trunk, params["trunk_conv"], dtype=dtype)
 
     factor = 3 if cfg.upscale == 3 else 2
@@ -498,7 +550,7 @@ def rrdbnet_activations(params: Params, x: jnp.ndarray, cfg: RRDBNetConfig, *,
         return h2, h2
 
     trunk, per_block = jax.lax.scan(body, fea, (params["trunk"], block_keys),
-                                    unroll=cfg.unroll)
+                                    unroll=max(1, cfg.unroll))
     for k in range(cfg.nb):
         acts[f"rrdb_{k:02d}"] = per_block[k]
     fea = fea + conv2d(trunk, params["trunk_conv"], dtype=dtype)

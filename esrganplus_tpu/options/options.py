@@ -140,6 +140,8 @@ def build_net_g_config(opt):
             rdb_noise=g.get("gaussian_noise", True),
             rrdb_noise=g.get("rrdb_noise", False),
             noise_sigma=g.get("noise_sigma", 0.1),
+            unroll=g.get("unroll", 0),
+            noise_kernel=g.get("noise_kernel", "input"),
         )
     if which in ("sr_resnet", "srresnet"):
         from esrganplus_tpu.models.srresnet import SRResNetConfig

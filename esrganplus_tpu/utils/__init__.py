@@ -1,3 +1,5 @@
-from esrganplus_tpu.utils.misc import mkdir_and_rename, set_random_seed, setup_logger
+from esrganplus_tpu.utils.misc import (enable_compile_cache, mkdir_and_rename,
+                                        set_random_seed, setup_logger)
 
-__all__ = ["mkdir_and_rename", "set_random_seed", "setup_logger"]
+__all__ = ["enable_compile_cache", "mkdir_and_rename", "set_random_seed",
+           "setup_logger"]

@@ -21,6 +21,26 @@ def timestamp() -> str:
     return time.strftime("%y%m%d-%H%M%S")
 
 
+def enable_compile_cache() -> str:
+    """Point JAX's persistent compilation cache at a stable directory.
+
+    TPU/Mosaic compiles of the flagship step take minutes (the fully
+    unrolled training trunk alone is ~2.5 min); the persistent cache makes
+    every rerun start in seconds. Resolution order: ``$ESRGANPLUS_JAX_CACHE``,
+    else ``.jax_cache/`` next to the package (the repo checkout). Called by
+    every CLI entry point and ``bench.py``."""
+    import jax
+
+    cache = os.environ.get("ESRGANPLUS_JAX_CACHE")
+    if not cache:
+        import esrganplus_tpu
+
+        pkg = os.path.dirname(os.path.abspath(esrganplus_tpu.__file__))
+        cache = os.path.join(os.path.dirname(pkg), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache)
+    return cache
+
+
 def mkdir_and_rename(path: str) -> None:
     if os.path.exists(path):
         new_name = path + "_archived_" + timestamp()

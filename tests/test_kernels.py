@@ -261,6 +261,39 @@ def test_rrdbnet_pallas_train_grads_match_xla():
         assert err / scale < 1e-3, (err, scale)
 
 
+@pytest.mark.parametrize("detach", [False, True])
+def test_rrdbnet_input_noise_matches_xla(detach):
+    # noise_kernel="input": XLA pre-draws the per-site noise (same keys and
+    # NHWC draw order as the XLA path) and the kernel epilogue applies the
+    # relative-noise multiply; the backward scales the cotangent at load
+    # (detach: identity — the backward never touches the noise). Values and
+    # grads must match the plain XLA trunk.
+    import dataclasses
+
+    from esrganplus_tpu.models import init_rrdbnet, rrdbnet_forward
+
+    cfg_p = RRDBNetConfig(nf=16, nb=2, gc=8, trunk_kernel="pallas",
+                          noise_sigma=0.1, noise_kernel="input",
+                          noise_relative_detach=detach)
+    cfg_x = dataclasses.replace(cfg_p, trunk_kernel="xla", fused=False,
+                                noise_kernel="xla")
+    params = init_rrdbnet(jax.random.PRNGKey(0), cfg_p)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 3), jnp.float32)
+    rng = jax.random.PRNGKey(3)
+
+    def loss(params, cfg):
+        out = rrdbnet_forward(params, x, cfg, train=True, rng=rng)
+        return jnp.mean(jnp.abs(out - 0.5))
+
+    vp, gp = jax.value_and_grad(loss)(params, cfg_p)
+    vx, gx = jax.value_and_grad(loss)(params, cfg_x)
+    assert abs(float(vp - vx)) < 1e-5
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        err = float(jnp.abs(a - b).max())
+        scale = float(jnp.abs(b).max()) + 1e-6
+        assert err / scale < 1e-3, (err, scale)
+
+
 def test_rrdbnet_pallas_trunk_matches_xla():
     # full-model integration: trunk_kernel='pallas' (interpret on CPU) must
     # reproduce the XLA trunk including RRDB residuals and the upconv tail.
