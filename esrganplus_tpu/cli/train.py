@@ -158,7 +158,25 @@ def main(argv=None):
 
     # ---- loop ----
     feed_keys = ("LR", "seg", "HR", "category") if model_kind == "sftgan" else ("LR", "HR")
-    feeder = iter(DeviceFeeder(train_loader, mesh, keys=feed_keys))
+    # datasets.train.resident_crops: N keeps a pool of N aligned crop pairs
+    # in HBM and samples/augments each batch ON DEVICE inside the step's jit
+    # — removes the per-step host→device transfer entirely (docs/OPTIONS.md)
+    resident_n = train_opt_ds.get("resident_crops")
+    use_resident = bool(resident_n) and model_kind in ("sr", "srgan", "srragan")
+    if use_resident:
+        from esrganplus_tpu.data.resident import ResidentCropStore
+
+        store = ResidentCropStore(
+            train_ds, mesh, n_crops=int(resident_n),
+            refresh_steps=int(train_opt_ds.get("resident_refresh", 1000)),
+            seed=seed,
+            use_flip=train_opt_ds.get("use_flip", True),
+            use_rot=train_opt_ds.get("use_rot", True))
+        logger.info(f"resident crop store: {store.n_crops} pairs in HBM, "
+                    f"refresh every {store.refresh_steps} steps")
+        feeder = None
+    else:
+        feeder = iter(DeviceFeeder(train_loader, mesh, keys=feed_keys))
     print_freq = opt["logger"].get("print_freq", 100)
     val_freq = opt["train"].get("val_freq", 5000)
     save_freq = opt["train"].get("save_checkpoint_freq", 5000)
@@ -175,8 +193,13 @@ def main(argv=None):
         if step == prof_start:
             jax.profiler.start_trace(args.profile)
             logger.info(f"profiler trace started -> {args.profile}")
-        batch_dev, _ = next(feeder)
-        state, logs = trainer.train_step(state, batch_dev, rng)
+        if use_resident:
+            store.maybe_refresh(step)
+            state, logs = trainer.train_step_resident(state, store, rng,
+                                                      batch_size)
+        else:
+            batch_dev, _ = next(feeder)
+            state, logs = trainer.train_step(state, batch_dev, rng)
         if step + 1 == prof_stop:
             jax.tree_util.tree_map(lambda a: a.block_until_ready(), logs)
             jax.profiler.stop_trace()

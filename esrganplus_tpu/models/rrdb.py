@@ -431,8 +431,11 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
             out = apply_noise(out, ks[3])
         return out, None
 
-    full_unroll = (train and not interp
-                   and (cfg.unroll == 0 or cfg.unroll >= cfg.nb))
+    # unroll=0 "auto" unrolls on TPU only (interpret-mode compile cost);
+    # an explicit unroll >= nb forces the Python loop everywhere so the
+    # CPU suite can exercise this path too.
+    full_unroll = (train and ((cfg.unroll == 0 and not interp)
+                              or cfg.unroll >= cfg.nb))
     if full_unroll:
         # full Python unroll for TPU training (unroll=0 "auto" or >= nb): a
         # lax.scan'd trunk pays ~3-4 ms per step in residual stack/unstack

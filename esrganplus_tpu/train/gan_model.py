@@ -100,6 +100,7 @@ class GANTrainer:
         self.f_params = (load_vgg_feat(cfg.vgg_path, vgg_cfg)
                          if self.use_feature else None)
 
+        self._resident_jits = {}
         rep = replicated(self.mesh)
         dat = data_sharding(self.mesh)
         self._jit_step = jax.jit(
@@ -256,6 +257,26 @@ class GANTrainer:
     def train_step(self, state, batch, rng):
         """One G+D step. ``batch`` = (LR NHWC, HR NHWC) float32 [0,1]."""
         return self._jit_step(state, batch, rng)
+
+    def train_step_resident(self, state, store, rng, batch_size: int):
+        """One G+D step with the batch sampled ON DEVICE from a
+        :class:`~esrganplus_tpu.data.resident.ResidentCropStore` (see
+        ``SRTrainer.train_step_resident``)."""
+        key = (batch_size, store.n_crops, store.use_flip, store.use_rot)
+        fn = self._resident_jits.get(key)
+        if fn is None:
+            sample = store.make_sampler(batch_size)
+            rep = replicated(self.mesh)
+
+            def step(state, lr_pool, hr_pool, rng):
+                ks, kn = jax.random.split(
+                    jax.random.fold_in(rng, state["step"]))
+                return self._step(state, sample(ks, lr_pool, hr_pool), kn)
+
+            fn = jax.jit(step, in_shardings=(rep, rep, rep, rep),
+                         out_shardings=(rep, rep), donate_argnums=(0,))
+            self._resident_jits[key] = fn
+        return fn(state, store.lr, store.hr, rng)
 
     def predict(self, g_params, lr_img):
         return self._jit_eval(g_params, lr_img)

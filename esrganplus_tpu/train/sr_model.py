@@ -84,6 +84,7 @@ class SRTrainer:
         self.tx, self.lr_schedule = make_optimizer(train_cfg)
         self._dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else None
 
+        self._resident_jits = {}
         rep = replicated(self.mesh)
         dat = data_sharding(self.mesh)
         self._jit_step = jax.jit(
@@ -148,6 +149,29 @@ class SRTrainer:
     def train_step(self, state, batch, rng):
         """One optimizer step. ``batch`` = (LR NHWC, HR NHWC) float32 [0,1]."""
         return self._jit_step(state, batch, rng)
+
+    def train_step_resident(self, state, store, rng, batch_size: int):
+        """One optimizer step with the batch sampled ON DEVICE from a
+        :class:`~esrganplus_tpu.data.resident.ResidentCropStore` — no
+        host↔device batch transfer (measured: runs at the pure-step time
+        where per-step feeding costs 2.5× through a remote tunnel)."""
+        key = (batch_size, store.n_crops, store.use_flip, store.use_rot)
+        fn = self._resident_jits.get(key)
+        if fn is None:
+            import functools
+
+            sample = store.make_sampler(batch_size)
+            rep = replicated(self.mesh)
+
+            def step(state, lr_pool, hr_pool, rng):
+                ks, kn = jax.random.split(
+                    jax.random.fold_in(rng, state["step"]))
+                return self._step(state, sample(ks, lr_pool, hr_pool), kn)
+
+            fn = jax.jit(step, in_shardings=(rep, rep, rep, rep),
+                         out_shardings=(rep, rep), donate_argnums=(0,))
+            self._resident_jits[key] = fn
+        return fn(state, store.lr, store.hr, rng)
 
     def predict(self, params, lr_img):
         return self._jit_eval(params, lr_img)

@@ -294,6 +294,32 @@ def test_rrdbnet_input_noise_matches_xla(detach):
         assert err / scale < 1e-3, (err, scale)
 
 
+def test_rrdbnet_unrolled_trunk_matches_scan():
+    # the fully Python-unrolled training trunk (unroll >= nb forces it even
+    # in interpret mode; unroll=0 "auto" takes it on TPU) must produce the
+    # same values and grads as the lax.scan trunk.
+    import dataclasses
+
+    from esrganplus_tpu.models import init_rrdbnet, rrdbnet_forward
+
+    cfg_u = RRDBNetConfig(nf=16, nb=2, gc=8, trunk_kernel="pallas",
+                          noise_sigma=0.1, unroll=2)
+    cfg_s = dataclasses.replace(cfg_u, unroll=1)
+    params = init_rrdbnet(jax.random.PRNGKey(0), cfg_u)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 8, 3), jnp.float32)
+    rng = jax.random.PRNGKey(3)
+
+    def loss(params, cfg):
+        out = rrdbnet_forward(params, x, cfg, train=True, rng=rng)
+        return jnp.mean(jnp.abs(out - 0.5))
+
+    vu, gu = jax.value_and_grad(loss)(params, cfg_u)
+    vs, gs = jax.value_and_grad(loss)(params, cfg_s)
+    assert abs(float(vu - vs)) < 1e-6
+    for a, b in zip(jax.tree.leaves(gu), jax.tree.leaves(gs)):
+        assert float(jnp.abs(a - b).max()) < 1e-5
+
+
 def test_rrdbnet_pallas_trunk_matches_xla():
     # full-model integration: trunk_kernel='pallas' (interpret on CPU) must
     # reproduce the XLA trunk including RRDB residuals and the upconv tail.

@@ -1,0 +1,160 @@
+"""Device-resident crop store: pool building, on-device sampling/augment
+parity with the host pipeline, trainer integration, CLI e2e."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esrganplus_tpu.data.datasets import LRHRDataset
+from esrganplus_tpu.data.resident import ResidentCropStore, build_crop_pool
+from esrganplus_tpu.ops.image_io import save_img
+from esrganplus_tpu.ops.resize import imresize_np
+from esrganplus_tpu.parallel import make_mesh
+
+
+def _make_dataset(root, n=4, hr=32, scale=4, hr_size=16):
+    hr_dir = os.path.join(root, "HR")
+    lr_dir = os.path.join(root, "LR")
+    rng = np.random.RandomState(7)
+    for i in range(n):
+        img = (rng.rand(hr, hr, 3) * 255).astype(np.uint8)
+        save_img(img, os.path.join(hr_dir, f"img{i}.png"))
+        lr = np.clip(imresize_np(img.astype(np.float32) / 255.0, 1.0 / scale), 0, 1)
+        save_img((lr * 255).round().astype(np.uint8),
+                 os.path.join(lr_dir, f"img{i}.png"))
+    return LRHRDataset({
+        "phase": "train", "dataroot_HR": hr_dir, "dataroot_LR": lr_dir,
+        "scale": scale, "HR_size": hr_size, "use_flip": True, "use_rot": True,
+    })
+
+
+def test_build_crop_pool_shapes_and_alignment(tmp_path):
+    ds = _make_dataset(str(tmp_path))
+    lr, hr = build_crop_pool(ds, 8, np.random.RandomState(0))
+    assert lr.shape == (8, 4, 4, 3) and lr.dtype == np.uint8
+    assert hr.shape == (8, 16, 16, 3) and hr.dtype == np.uint8
+    # host augment flags restored after building
+    assert ds.opt["use_flip"] is True and ds.opt["use_rot"] is True
+
+
+def test_resident_sampler_matches_host_gather(tmp_path):
+    # flips off: the sampled batch must equal a host gather of the pool
+    # (uint8 → f32/255) bit-for-bit, with identical LR/HR indices.
+    ds = _make_dataset(str(tmp_path))
+    mesh = make_mesh()
+    store = ResidentCropStore(ds, mesh, n_crops=16, refresh_steps=0, seed=0,
+                              use_flip=False, use_rot=False)
+    sample = store.make_sampler(batch_size=8)
+    key = jax.random.PRNGKey(5)
+    lr, hr = jax.jit(sample)(key, store.lr, store.hr)
+    kidx = jax.random.split(key, 4)[0]
+    idx = np.asarray(jax.random.randint(kidx, (8,), 0, 16))
+    # 1-ulp tolerance: XLA compiles /255 as multiply-by-reciprocal
+    np.testing.assert_allclose(
+        np.asarray(lr), np.asarray(store.lr)[idx].astype(np.float32) / 255.0,
+        atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(hr), np.asarray(store.hr)[idx].astype(np.float32) / 255.0,
+        atol=1e-7)
+
+
+def test_resident_sampler_augment_pairs(tmp_path):
+    # flips on: every sampled pair must be one of the 8 dihedral transforms
+    # of some pool pair, with the SAME transform applied to LR and HR
+    # (_paired_augment parity: hflip, vflip, transpose).
+    ds = _make_dataset(str(tmp_path))
+    mesh = make_mesh()
+    store = ResidentCropStore(ds, mesh, n_crops=6, refresh_steps=0, seed=0)
+    sample = store.make_sampler(batch_size=16)
+    lr, hr = jax.jit(sample)(jax.random.PRNGKey(9), store.lr, store.hr)
+    lr, hr = np.asarray(lr), np.asarray(hr)
+    pool_lr = np.asarray(store.lr).astype(np.float32) / 255.0
+    pool_hr = np.asarray(store.hr).astype(np.float32) / 255.0
+
+    def variants(img):
+        for do_h in (False, True):
+            for do_v in (False, True):
+                for do_r in (False, True):
+                    v = img
+                    if do_h:
+                        v = v[:, ::-1]
+                    if do_v:
+                        v = v[::-1]
+                    if do_r:
+                        v = v.transpose(1, 0, 2)
+                    yield (do_h, do_v, do_r), v
+
+    def eq(a, b):  # 1-ulp tolerance (reciprocal-multiply /255)
+        return np.abs(a - b).max() < 1e-7
+
+    for b in range(16):
+        found = False
+        for i in range(6):
+            for t, v_hr in variants(pool_hr[i]):
+                if eq(hr[b], v_hr):
+                    v_lr = dict(variants(pool_lr[i]))[t]
+                    assert eq(lr[b], v_lr), (b, i, t)
+                    found = True
+        assert found, f"sample {b} is not a transform of any pool pair"
+
+
+def test_train_step_resident_runs_on_mesh(tmp_path):
+    from esrganplus_tpu.models.rrdb import RRDBNetConfig
+    from esrganplus_tpu.train.sr_model import SRTrainer, SRTrainConfig
+
+    ds = _make_dataset(str(tmp_path))
+    mesh = make_mesh()  # 8 virtual CPU devices under pytest
+    tr = SRTrainer(RRDBNetConfig(nf=8, nb=1, gc=4, upscale=4),
+                   SRTrainConfig(), mesh=mesh)
+    store = ResidentCropStore(ds, mesh, n_crops=16, refresh_steps=0, seed=0)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+    for _ in range(2):
+        state, logs = tr.train_step_resident(state, store, rng, batch_size=8)
+    assert np.isfinite(float(logs["l_pix"]))
+    assert int(state["step"]) == 2
+    # refresh re-uploads without changing shapes
+    store.refresh_steps = 1
+    store.maybe_refresh(1)
+    state, logs = tr.train_step_resident(state, store, rng, batch_size=8)
+    assert np.isfinite(float(logs["l_pix"]))
+
+
+def test_cli_train_resident_e2e(tmp_path):
+    # the training CLI runs end-to-end with resident_crops enabled
+    root = str(tmp_path)
+    hr_dir, lr_dir = os.path.join(root, "HR"), os.path.join(root, "LR")
+    rng = np.random.RandomState(3)
+    for i in range(3):
+        img = (rng.rand(48, 48, 3) * 255).astype(np.uint8)
+        save_img(img, os.path.join(hr_dir, f"i{i}.png"))
+        lr = np.clip(imresize_np(img.astype(np.float32) / 255.0, 0.25), 0, 1)
+        save_img((lr * 255).round().astype(np.uint8),
+                 os.path.join(lr_dir, f"i{i}.png"))
+    opt = {
+        "name": "debug_resident",
+        "model": "sr", "scale": 4, "use_tb_logger": False,
+        "datasets": {"train": {
+            "name": "s", "mode": "LRHR", "dataroot_HR": hr_dir,
+            "dataroot_LR": lr_dir, "n_workers": 0, "batch_size": 8,
+            "HR_size": 16, "use_flip": True, "use_rot": True,
+            "resident_crops": 16, "resident_refresh": 4,
+        }},
+        "path": {"root": root},
+        "network_G": {"which_model_G": "RRDB_net", "nf": 8, "nb": 1, "gc": 4},
+        "train": {"lr_G": 2e-4, "lr_scheme": "MultiStepLR", "lr_steps": [100],
+                  "pixel_criterion": "l1", "niter": 6},
+        "logger": {"print_freq": 3, "save_checkpoint_freq": 6},
+    }
+    opt_path = os.path.join(root, "opt.json")
+    with open(opt_path, "w") as f:
+        json.dump(opt, f)
+    from esrganplus_tpu.cli.train import main
+
+    main(["-opt", opt_path])
+    assert os.path.exists(os.path.join(root, "experiments", "debug_resident",
+                                       "models", "latest_G.pth"))
