@@ -25,10 +25,29 @@ import numpy as np
 STATE_SUFFIX = ".state.npz"
 
 
+def _fetch_tree(tree):
+    """Device→host fetch of a pytree, overlapping transfers where safe.
+
+    ``copy_to_host_async`` overlaps the per-array round-trip for plainly
+    placed (single-device) arrays, but on remote-attached runtimes it takes
+    a pathological seconds-per-leaf path for ``NamedSharding`` outputs of
+    jitted steps (measured ~2-3 s/leaf vs ~30 ms plain) — so async is only
+    requested for single-device leaves and sharded leaves drain serially."""
+    import jax.sharding as jsh
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    for leaf in leaves:
+        if (hasattr(leaf, "copy_to_host_async")
+                and isinstance(getattr(leaf, "sharding", None),
+                               jsh.SingleDeviceSharding)):
+            leaf.copy_to_host_async()
+    return [np.asarray(leaf) for leaf in leaves], treedef
+
+
 def save_state(path: str, state) -> None:
-    leaves, treedef = jax.tree_util.tree_flatten(state)
+    leaves, treedef = _fetch_tree(state)
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    arrays = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
     meta = {"n_leaves": len(leaves), "treedef": str(treedef)}
     np.savez(path, __meta__=json.dumps(meta), **arrays)
 
@@ -66,8 +85,14 @@ def save_networks_pth(models_dir: str, tag, g_params, g_cfg, d_params=None,
         generator_to_state_dict,
     )
 
+    # fetch to host with overlapped transfers before the layout conversion
+    # (the converters iterate leaves serially otherwise — see _fetch_tree)
+    g_leaves, g_def = _fetch_tree(g_params)
+    g_params = jax.tree_util.tree_unflatten(g_def, g_leaves)
     _save_pth(os.path.join(models_dir, f"{tag}_G.pth"), generator_to_state_dict(g_params, g_cfg))
     if d_params is not None and d_cfg is not None:
+        d_leaves, d_def = _fetch_tree(d_params)
+        d_params = jax.tree_util.tree_unflatten(d_def, d_leaves)
         d_to_sd = (discriminator_sn_to_state_dict
                    if getattr(d_cfg, "spectral_norm", False)
                    else discriminator_to_state_dict)
