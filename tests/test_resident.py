@@ -124,6 +124,25 @@ def test_train_step_resident_runs_on_mesh(tmp_path):
     assert np.isfinite(float(logs["l_pix"]))
 
 
+def test_gan_train_step_resident_runs(tmp_path):
+    from esrganplus_tpu.models.discriminator import DiscriminatorVGGConfig
+    from esrganplus_tpu.models.rrdb import RRDBNetConfig
+    from esrganplus_tpu.train.gan_model import GANTrainer, GANTrainConfig
+
+    ds = _make_dataset(str(tmp_path), hr=128, hr_size=96)
+    mesh = make_mesh()
+    tr = GANTrainer(RRDBNetConfig(nf=8, nb=1, gc=4, upscale=4),
+                    DiscriminatorVGGConfig(input_size=96, base_nf=8),
+                    GANTrainConfig(feature_weight=0.0), mesh=mesh)
+    store = ResidentCropStore(ds, mesh, n_crops=16, refresh_steps=0, seed=0)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    rng = jax.random.PRNGKey(1)
+    for _ in range(2):
+        state, logs = tr.train_step_resident(state, store, rng, batch_size=8)
+    assert np.isfinite(float(logs["l_d_total"]))
+    assert int(state["step"]) == 2
+
+
 def test_cli_train_resident_e2e(tmp_path):
     # the training CLI runs end-to-end with resident_crops enabled
     root = str(tmp_path)
