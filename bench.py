@@ -59,9 +59,9 @@ def main(argv=None):
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+    from esrganplus_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from esrganplus_tpu.models import RRDBNetConfig, init_rrdbnet, rrdbnet_forward

@@ -180,6 +180,14 @@ def main(argv=None):
     print_freq = opt["logger"].get("print_freq", 100)
     val_freq = opt["train"].get("val_freq", 5000)
     save_freq = opt["train"].get("save_checkpoint_freq", 5000)
+    # train.steps_per_dispatch (resident mode only): run up to K optimizer
+    # steps per device dispatch via a lax.fori_loop burst — amortises the
+    # per-step dispatch/RTT on remote-attached runtimes. Bursts never cross
+    # a print/val/save/refresh/profile/niter boundary, so all host-side
+    # cadences behave identically (only per-step logs inside a burst are
+    # skipped — as they already are between print_freq prints).
+    burst = max(1, int(opt["train"].get("steps_per_dispatch", 1) or 1)) \
+        if use_resident else 1
     rng = jax.random.PRNGKey(seed + 1)
     sharded_eval = None
 
@@ -188,15 +196,30 @@ def main(argv=None):
     prof_start = start_step + 10 if args.profile else None
     prof_stop = prof_start + args.profile_steps if args.profile else None
 
+    def _burst_len(step: int) -> int:
+        n = min(burst, niter - step)
+        for f in (print_freq, val_freq, save_freq,
+                  store.refresh_steps if use_resident else 0):
+            if f and f > 0:
+                n = min(n, f - step % f)
+        for p in (prof_start, prof_stop):
+            if p is not None and step < p:
+                n = min(n, p - step)
+        return max(1, n)
+
     t_last = time.time()
-    for step in range(start_step, niter):
+    step = start_step
+    while step < niter:
         if step == prof_start:
             jax.profiler.start_trace(args.profile)
             logger.info(f"profiler trace started -> {args.profile}")
         if use_resident:
             store.maybe_refresh(step)
+            n_burst = _burst_len(step)
             state, logs = trainer.train_step_resident(state, store, rng,
-                                                      batch_size)
+                                                      batch_size,
+                                                      n_steps=n_burst)
+            step += n_burst - 1  # the loop tail accounts for one step
         else:
             batch_dev, _ = next(feeder)
             state, logs = trainer.train_step(state, batch_dev, rng)
@@ -278,6 +301,7 @@ def main(argv=None):
             save_state(os.path.join(opt["path"]["training_state"], f"{tag}{STATE_SUFFIX}"),
                        state)
             _export_networks(opt["path"]["models"], tag, model_kind, state, net_g, net_d)
+        step += 1
 
     logger.info("Saving the final model.")
     _export_networks(opt["path"]["models"], "latest", model_kind, state, net_g, net_d)

@@ -21,14 +21,38 @@ def timestamp() -> str:
     return time.strftime("%y%m%d-%H%M%S")
 
 
+def host_fingerprint() -> str:
+    """Short hash of the host CPU's feature flags.
+
+    XLA:CPU caches AOT-compiled executables whose machine features are NOT
+    part of the persistent-cache key; loading an artifact compiled on a
+    host with different features (e.g. AMX/AVX-512 present vs absent after
+    a VM migration) warns and can SIGILL. Keying the cache directory by the
+    feature set makes stale artifacts unreachable instead of fatal."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    h = hashlib.md5(line.encode()).hexdigest()[:10]
+                    return f"{platform.machine()}-{h}"
+    except OSError:
+        pass
+    return platform.machine() or "unknown"
+
+
 def enable_compile_cache() -> str:
     """Point JAX's persistent compilation cache at a stable directory.
 
     TPU/Mosaic compiles of the flagship step take minutes (the fully
     unrolled training trunk alone is ~2.5 min); the persistent cache makes
-    every rerun start in seconds. Resolution order: ``$ESRGANPLUS_JAX_CACHE``,
-    else ``.jax_cache/`` next to the package (the repo checkout). Called by
-    every CLI entry point and ``bench.py``."""
+    every rerun start in seconds. Resolution order: ``$ESRGANPLUS_JAX_CACHE``
+    (used verbatim), else ``.jax_cache/<host-fingerprint>/`` next to the
+    package (the repo checkout; see :func:`host_fingerprint` for why the
+    default is keyed per host). Called by every CLI entry point,
+    ``bench.py`` and the test suite."""
     import jax
 
     cache = os.environ.get("ESRGANPLUS_JAX_CACHE")
@@ -36,7 +60,8 @@ def enable_compile_cache() -> str:
         import esrganplus_tpu
 
         pkg = os.path.dirname(os.path.abspath(esrganplus_tpu.__file__))
-        cache = os.path.join(os.path.dirname(pkg), ".jax_cache")
+        cache = os.path.join(os.path.dirname(pkg), ".jax_cache",
+                             host_fingerprint())
     jax.config.update("jax_compilation_cache_dir", cache)
     return cache
 

@@ -20,7 +20,12 @@ import jax
 
 if not os.environ.get("JAX_REAL_TPU"):
     jax.config.update("jax_platforms", "cpu")
-# persistent compile cache: repeated suite runs skip recompilation
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+# persistent compile cache: repeated suite runs skip recompilation. The dir
+# is keyed by a host-CPU fingerprint (utils.misc.host_fingerprint) — this
+# sandbox migrates between VMs with different CPU features, and XLA:CPU's
+# cached AOT executables SIGILL when loaded on a host missing the features
+# they were compiled for.
+from esrganplus_tpu.utils.misc import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
