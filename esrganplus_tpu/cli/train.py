@@ -162,11 +162,15 @@ def main(argv=None):
     # in HBM and samples/augments each batch ON DEVICE inside the step's jit
     # — removes the per-step host→device transfer entirely (docs/OPTIONS.md)
     resident_n = train_opt_ds.get("resident_crops")
-    use_resident = bool(resident_n) and model_kind in ("sr", "srgan", "srragan")
+    use_resident = bool(resident_n) and model_kind in ("sr", "srgan",
+                                                       "srragan", "sftgan")
     if use_resident:
-        from esrganplus_tpu.data.resident import ResidentCropStore
+        from esrganplus_tpu.data.resident import (ResidentCropStore,
+                                                  ResidentSegStore)
 
-        store = ResidentCropStore(
+        store_cls = (ResidentSegStore if model_kind == "sftgan"
+                     else ResidentCropStore)
+        store = store_cls(
             train_ds, mesh, n_crops=int(resident_n),
             refresh_steps=int(train_opt_ds.get("resident_refresh", 1000)),
             seed=seed,

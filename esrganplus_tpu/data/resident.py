@@ -124,3 +124,107 @@ class ResidentCropStore:
                     jax.lax.with_sharding_constraint(hr, dat))
 
         return sample
+
+
+# ---------------------------------------------------------------------------
+# SFT-GAN variant: (LR, seg_HR, HR, category) crops
+# ---------------------------------------------------------------------------
+
+
+def build_seg_crop_pool(dataset, n_crops: int, rng: np.random.RandomState):
+    """Sample ``n_crops`` (LR, seg, HR, category) crops from an
+    LRHRSeg_BG_Dataset (``data/seg_dataset.py``; host augment bypassed).
+
+    HR stores as uint8 (8-bit source pixels); seg as uint8·255 (one-hot
+    0/1 survives the nearest-neighbour rescale exactly); LR stays float32 —
+    it is synthesized per-crop by bicubic downscale of a randomly rescaled
+    HR, so it has no 8-bit representation."""
+    saved = {k: dataset.opt.get(k) for k in ("use_flip", "use_rot")}
+    dataset.opt["use_flip"] = False
+    dataset.opt["use_rot"] = False
+    try:
+        lrs, segs, hrs, cats = [], [], [], []
+        n_src = len(dataset)
+        order = rng.permutation(n_src)
+        for i in range(n_crops):
+            s = dataset[int(order[i % n_src])]
+            lrs.append(s["LR"].astype(np.float32))
+            segs.append(np.clip(s["seg"] * 255.0, 0, 255).round().astype(np.uint8))
+            hrs.append(np.clip(s["HR"] * 255.0, 0, 255).round().astype(np.uint8))
+            cats.append(np.int32(s["category"]))
+        return np.stack(lrs), np.stack(segs), np.stack(hrs), np.asarray(cats)
+    finally:
+        dataset.opt.update(saved)
+
+
+class ResidentSegStore:
+    """Device-resident (LR, seg, HR, category) crop pool for SFT-GAN training
+    (same design as :class:`ResidentCropStore`; the three spatial tensors
+    share each sample's flip/vflip/transpose decision, category rides
+    through untouched)."""
+
+    def __init__(self, dataset, mesh, n_crops: int = 1024,
+                 refresh_steps: int = 1000, seed: int = 0,
+                 use_flip: bool = True, use_rot: bool = True):
+        from esrganplus_tpu.parallel import replicated
+
+        self._dataset = dataset
+        self._mesh = mesh
+        self._rep = replicated(mesh)
+        self.n_crops = int(n_crops)
+        self.refresh_steps = int(refresh_steps)
+        self.use_flip = bool(use_flip)
+        self.use_rot = bool(use_rot)
+        self._rng = np.random.RandomState(seed)
+        self._upload(*build_seg_crop_pool(dataset, self.n_crops, self._rng))
+
+    def _upload(self, lr, seg, hr, cat):
+        import jax
+
+        self.lr = jax.device_put(lr, self._rep)
+        self.seg = jax.device_put(seg, self._rep)
+        self.hr = jax.device_put(hr, self._rep)
+        self.cat = jax.device_put(cat, self._rep)
+
+    def maybe_refresh(self, step: int):
+        if self.refresh_steps > 0 and step > 0 and step % self.refresh_steps == 0:
+            self._upload(*build_seg_crop_pool(self._dataset, self.n_crops,
+                                              self._rng))
+
+    def make_sampler(self, batch_size: int):
+        """→ ``sample(key, lr, seg, hr, cat) -> (lr, seg, hr, cat)`` with LR/HR
+        float32 [0,1], seg float32 one-hot, category int32."""
+        import jax
+        import jax.numpy as jnp
+
+        from esrganplus_tpu.parallel import data_sharding
+
+        n, flip, rot = self.n_crops, self.use_flip, self.use_rot
+        mesh = self._mesh
+
+        def sample(key, lr_pool, seg_pool, hr_pool, cat_pool):
+            kidx, kh, kv, kr = jax.random.split(key, 4)
+            idx = jax.random.randint(kidx, (batch_size,), 0, n)
+            lr = lr_pool[idx]
+            seg = seg_pool[idx].astype(jnp.float32) / 255.0
+            hr = hr_pool[idx].astype(jnp.float32) / 255.0
+            cat = cat_pool[idx]
+
+            def draw(k, on):
+                return (jax.random.bernoulli(k, 0.5, (batch_size,)) if on
+                        else jnp.zeros((batch_size,), bool))
+
+            do_h, do_v, do_r = draw(kh, flip), draw(kv, rot), draw(kr, rot)
+
+            def aug(img):
+                b = lambda m: m[:, None, None, None]
+                img = jnp.where(b(do_h), img[:, :, ::-1], img)
+                img = jnp.where(b(do_v), img[:, ::-1], img)
+                img = jnp.where(b(do_r), jnp.swapaxes(img, 1, 2), img)
+                return img
+
+            cons = lambda a: jax.lax.with_sharding_constraint(
+                a, data_sharding(mesh, a.ndim))
+            return (cons(aug(lr)), cons(aug(seg)), cons(aug(hr)), cons(cat))
+
+        return sample

@@ -172,6 +172,58 @@ def test_gan_train_step_resident_runs(tmp_path):
     assert int(state["step"]) == 2
 
 
+def test_sftgan_resident_store_and_step(tmp_path):
+    import torch
+
+    from esrganplus_tpu.data.resident import ResidentSegStore, build_seg_crop_pool
+    from esrganplus_tpu.data.seg_dataset import LRHRSegBGDataset
+    from esrganplus_tpu.models.sft import SFTNetConfig
+    from esrganplus_tpu.train.sftgan_model import SFTGANTrainConfig, SFTGANTrainer
+
+    img_dir = os.path.join(str(tmp_path), "img")
+    seg_dir = os.path.join(str(tmp_path), "bicseg")
+    os.makedirs(seg_dir)
+    rng = np.random.RandomState(5)
+    for i in range(3):
+        img = (rng.rand(128, 128, 3) * 255).astype(np.uint8)
+        save_img(img, os.path.join(img_dir, f"0{i+1}_a.png"))
+        onehot = np.zeros((8, 128, 128), np.float32)
+        onehot[(i + 1) % 8] = 1.0
+        torch.save(torch.from_numpy(onehot),
+                   os.path.join(seg_dir, f"0{i+1}_a.pth"))
+    ds = LRHRSegBGDataset({
+        "phase": "train", "dataroot_HR": img_dir, "scale": 4, "HR_size": 96,
+        "use_flip": True, "use_rot": True,
+    })
+    lr, seg, hr, cat = build_seg_crop_pool(ds, 6, np.random.RandomState(0))
+    assert lr.shape == (6, 24, 24, 3) and lr.dtype == np.float32
+    assert seg.shape == (6, 96, 96, 8) and seg.dtype == np.uint8
+    assert hr.shape == (6, 96, 96, 3) and hr.dtype == np.uint8
+    assert set(np.unique(seg)) <= {0, 255}  # one-hot survives storage
+    assert cat.dtype == np.int32 and (cat >= 0).all()
+
+    mesh = make_mesh()
+    store = ResidentSegStore(ds, mesh, n_crops=8, refresh_steps=0, seed=0)
+    tr = SFTGANTrainer(SFTNetConfig(nb=1),
+                       SFTGANTrainConfig(d_init_iters=0, other_start_iter=0,
+                                         milestones=(1000,),
+                                         feature_weight=0.0), mesh=mesh)
+    state = tr.init_state(jax.random.PRNGKey(0))
+    for _ in range(2):
+        state, logs = tr.train_step_resident(state, store,
+                                             jax.random.PRNGKey(1),
+                                             batch_size=8)
+    assert int(state["step"]) == 2
+    for k, v in logs.items():
+        assert np.isfinite(float(v)), (k, v)
+    # seg maps arrive one-hot after the device-side /255 cast
+    sample = store.make_sampler(8)
+    _, seg_b, _, _ = jax.jit(sample)(jax.random.PRNGKey(2), store.lr,
+                                     store.seg, store.hr, store.cat)
+    u = np.unique(np.asarray(seg_b))
+    assert set(u.tolist()) <= {0.0, 1.0}
+
+
 def test_cli_train_resident_e2e(tmp_path):
     # the training CLI runs end-to-end with resident_crops enabled
     root = str(tmp_path)
