@@ -197,8 +197,10 @@ def main(argv=None):
 
     # --profile: trace [start+10, start+10+profile_steps) — past compile and
     # feeder warmup so the capture shows the steady-state step.
-    prof_start = start_step + 10 if args.profile else None
-    prof_stop = prof_start + args.profile_steps if args.profile else None
+    prof_start = (start_step + 10 if args.profile and args.profile_steps > 0
+                  else None)
+    prof_stop = prof_start + args.profile_steps if prof_start is not None else None
+    prof_active = False
 
     def _burst_len(step: int) -> int:
         n = min(burst, niter - step)
@@ -209,13 +211,17 @@ def main(argv=None):
         for p in (prof_start, prof_stop):
             if p is not None and step < p:
                 n = min(n, p - step)
-        return max(1, n)
+        # quantise to {burst, 1}: every distinct n_steps value is a separate
+        # multi-minute XLA compile of the training step — boundary
+        # remainders run as single steps against the n_steps=1 executable
+        return n if n == burst else 1
 
     t_last = time.time()
     step = start_step
     while step < niter:
         if step == prof_start:
             jax.profiler.start_trace(args.profile)
+            prof_active = True
             logger.info(f"profiler trace started -> {args.profile}")
         if use_resident:
             store.maybe_refresh(step)
@@ -227,9 +233,10 @@ def main(argv=None):
         else:
             batch_dev, _ = next(feeder)
             state, logs = trainer.train_step(state, batch_dev, rng)
-        if step + 1 == prof_stop:
+        if prof_active and step + 1 >= prof_stop:
             jax.tree_util.tree_map(lambda a: a.block_until_ready(), logs)
             jax.profiler.stop_trace()
+            prof_active = False
             logger.info(f"profiler trace written to {args.profile} "
                         f"(view: tensorboard --logdir {args.profile})")
 
@@ -307,6 +314,13 @@ def main(argv=None):
             _export_networks(opt["path"]["models"], tag, model_kind, state, net_g, net_d)
         step += 1
 
+    if prof_active:
+        # the profile window extended past niter — close it so the trace
+        # is written rather than lost
+        jax.tree_util.tree_map(lambda a: a.block_until_ready(), logs)
+        jax.profiler.stop_trace()
+        logger.info(f"profiler trace written to {args.profile} (run ended "
+                    f"inside the profile window)")
     logger.info("Saving the final model.")
     _export_networks(opt["path"]["models"], "latest", model_kind, state, net_g, net_d)
     logger.info("End of training.")

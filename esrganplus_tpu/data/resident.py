@@ -28,6 +28,53 @@ from typing import Dict, Optional
 import numpy as np
 
 
+def _augment_decisions(key, batch_size: int, flip: bool, rot: bool):
+    """Per-sample hflip/vflip/transpose coin flips (p=0.5 each; disabled
+    axes draw all-False) — the device twin of ``_paired_augment``."""
+    import jax
+    import jax.numpy as jnp
+
+    kh, kv, kr = jax.random.split(key, 3)
+
+    def draw(k, on):
+        return (jax.random.bernoulli(k, 0.5, (batch_size,)) if on
+                else jnp.zeros((batch_size,), bool))
+
+    return draw(kh, flip), draw(kv, rot), draw(kr, rot)
+
+
+def _apply_augment(img, do_h, do_v, do_r):
+    """Apply shared per-sample flips/transpose to one NHWC tensor."""
+    import jax.numpy as jnp
+
+    b = lambda m: m[:, None, None, None]
+    img = jnp.where(b(do_h), img[:, :, ::-1], img)
+    img = jnp.where(b(do_v), img[:, ::-1], img)
+    img = jnp.where(b(do_r), jnp.swapaxes(img, 1, 2), img)
+    return img
+
+
+def _bypass_host_augment(dataset):
+    """Context values for temporarily disabling a dataset's host-side flip/rot
+    (the device sampler applies them instead). Keys absent before must be
+    DELETED on restore, not written back as None — a stored None would flip
+    the documented `opt.get("use_flip", True)` default to falsy for every
+    later consumer of the shared opt dict."""
+    saved = {k: dataset.opt[k] for k in ("use_flip", "use_rot")
+             if k in dataset.opt}
+    dataset.opt["use_flip"] = False
+    dataset.opt["use_rot"] = False
+
+    def restore():
+        for k in ("use_flip", "use_rot"):
+            if k in saved:
+                dataset.opt[k] = saved[k]
+            else:
+                dataset.opt.pop(k, None)
+
+    return restore
+
+
 def build_crop_pool(dataset, n_crops: int, rng: np.random.RandomState):
     """Sample ``n_crops`` aligned (LR, HR) crop pairs from an LRHR dataset.
 
@@ -36,9 +83,7 @@ def build_crop_pool(dataset, n_crops: int, rng: np.random.RandomState):
     returns uint8 arrays ``(lr [N,h,w,3], hr [N,H,W,3])``.
     """
     # host augment off while building: device handles flip/rot
-    saved = {k: dataset.opt.get(k) for k in ("use_flip", "use_rot")}
-    dataset.opt["use_flip"] = False
-    dataset.opt["use_rot"] = False
+    restore = _bypass_host_augment(dataset)
     try:
         lrs, hrs = [], []
         n_src = len(dataset)
@@ -49,7 +94,7 @@ def build_crop_pool(dataset, n_crops: int, rng: np.random.RandomState):
             hrs.append(np.clip(s["HR"] * 255.0, 0, 255).round().astype(np.uint8))
         return np.stack(lrs), np.stack(hrs)
     finally:
-        dataset.opt.update(saved)
+        restore()
 
 
 class ResidentCropStore:
@@ -100,26 +145,14 @@ class ResidentCropStore:
         dat = data_sharding(self._mesh)
 
         def sample(key, lr_pool, hr_pool):
-            kidx, kh, kv, kr = jax.random.split(key, 4)
+            kidx, kaug = jax.random.split(key)
             idx = jax.random.randint(kidx, (batch_size,), 0, n)
             lr = lr_pool[idx].astype(jnp.float32) / 255.0
             hr = hr_pool[idx].astype(jnp.float32) / 255.0
-            # _paired_augment parity: independent p=0.5 hflip / vflip /
-            # transpose per sample, same decision applied to LR and HR
-            def draw(k, on):
-                return (jax.random.bernoulli(k, 0.5, (batch_size,)) if on
-                        else jnp.zeros((batch_size,), bool))
-
-            do_h, do_v, do_r = draw(kh, flip), draw(kv, rot), draw(kr, rot)
-
-            def aug(img):
-                b = lambda m: m[:, None, None, None]
-                img = jnp.where(b(do_h), img[:, :, ::-1], img)
-                img = jnp.where(b(do_v), img[:, ::-1], img)
-                img = jnp.where(b(do_r), jnp.swapaxes(img, 1, 2), img)
-                return img
-
-            lr, hr = aug(lr), aug(hr)
+            # _paired_augment parity: same decision applied to LR and HR
+            dec = _augment_decisions(kaug, batch_size, flip, rot)
+            lr = _apply_augment(lr, *dec)
+            hr = _apply_augment(hr, *dec)
             return (jax.lax.with_sharding_constraint(lr, dat),
                     jax.lax.with_sharding_constraint(hr, dat))
 
@@ -139,9 +172,7 @@ def build_seg_crop_pool(dataset, n_crops: int, rng: np.random.RandomState):
     0/1 survives the nearest-neighbour rescale exactly); LR stays float32 —
     it is synthesized per-crop by bicubic downscale of a randomly rescaled
     HR, so it has no 8-bit representation."""
-    saved = {k: dataset.opt.get(k) for k in ("use_flip", "use_rot")}
-    dataset.opt["use_flip"] = False
-    dataset.opt["use_rot"] = False
+    restore = _bypass_host_augment(dataset)
     try:
         lrs, segs, hrs, cats = [], [], [], []
         n_src = len(dataset)
@@ -154,7 +185,7 @@ def build_seg_crop_pool(dataset, n_crops: int, rng: np.random.RandomState):
             cats.append(np.int32(s["category"]))
         return np.stack(lrs), np.stack(segs), np.stack(hrs), np.asarray(cats)
     finally:
-        dataset.opt.update(saved)
+        restore()
 
 
 class ResidentSegStore:
@@ -203,28 +234,17 @@ class ResidentSegStore:
         mesh = self._mesh
 
         def sample(key, lr_pool, seg_pool, hr_pool, cat_pool):
-            kidx, kh, kv, kr = jax.random.split(key, 4)
+            kidx, kaug = jax.random.split(key)
             idx = jax.random.randint(kidx, (batch_size,), 0, n)
             lr = lr_pool[idx]
             seg = seg_pool[idx].astype(jnp.float32) / 255.0
             hr = hr_pool[idx].astype(jnp.float32) / 255.0
             cat = cat_pool[idx]
-
-            def draw(k, on):
-                return (jax.random.bernoulli(k, 0.5, (batch_size,)) if on
-                        else jnp.zeros((batch_size,), bool))
-
-            do_h, do_v, do_r = draw(kh, flip), draw(kv, rot), draw(kr, rot)
-
-            def aug(img):
-                b = lambda m: m[:, None, None, None]
-                img = jnp.where(b(do_h), img[:, :, ::-1], img)
-                img = jnp.where(b(do_v), img[:, ::-1], img)
-                img = jnp.where(b(do_r), jnp.swapaxes(img, 1, 2), img)
-                return img
-
+            dec = _augment_decisions(kaug, batch_size, flip, rot)
             cons = lambda a: jax.lax.with_sharding_constraint(
                 a, data_sharding(mesh, a.ndim))
-            return (cons(aug(lr)), cons(aug(seg)), cons(aug(hr)), cons(cat))
+            return (cons(_apply_augment(lr, *dec)),
+                    cons(_apply_augment(seg, *dec)),
+                    cons(_apply_augment(hr, *dec)), cons(cat))
 
         return sample

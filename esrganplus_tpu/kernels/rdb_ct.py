@@ -692,7 +692,13 @@ def _rdb_ct_bwd_kernel(x_ref, w1, w2, w3, w4, w5, b_ref, g_ref, sv_ref,
 
     # ---- IM3 rebuild from the forward's saved residuals (VPU only) ----
     x = x_ref[:]
-    sgn = lambda v: v.astype(f32) >= 0     # bf16 compares unsupported on TPU
+    # bf16 compares unsupported on TPU → cast to f32 first. Known edge: a
+    # pre-activation z ∈ (-2⁻¹³³·5, 0) makes l = 0.2·z underflow to -0.0 in
+    # the bf16 residual, and (-0.0 >= 0) puts the mask on the slope-1 side
+    # where the true derivative is 0.2 — a measure-zero set (subnormal
+    # pre-activations do not occur at trained scales); the f32-recompute
+    # path this replaced was exact there.
+    sgn = lambda v: v.astype(f32) >= 0
     append3(x, 0, nf)
     x1 = sv_ref[0 * gc:1 * gc, :]
     m1 = sgn(x1)

@@ -119,7 +119,10 @@ def prepare_upfold_ct(w, b, P: int, dtype=jnp.bfloat16):
             per_d.append(jnp.concatenate(rows, 0))        # [4·CO, 2C]
         planes.append(jnp.stack(per_d))
     wd = jnp.stack(planes).astype(dtype)                  # [P, 2, 4CO, 2C]
-    bias = (None if b is None else b.astype(jnp.float32).reshape(-1, 1))
+    # zeros (not None) for a bias-less conv: the kernels unconditionally
+    # take a VMEM bias operand, and a [CO, 1] zeros block costs nothing
+    bias = (jnp.zeros((w.shape[-1], 1), jnp.float32) if b is None
+            else b.astype(jnp.float32).reshape(-1, 1))
     return wd, bias
 
 
@@ -144,7 +147,10 @@ def prepare_convxp_ct(w, b, P: int, dtype=jnp.bfloat16):
             rows.append(blk)
         planes.append(jnp.concatenate(rows, 0))           # [3·gs, 3C]
     wm = jnp.stack(planes).astype(dtype)
-    bias = (None if b is None else b.astype(jnp.float32).reshape(-1, 1))
+    # zeros (not None) for a bias-less conv: the kernels unconditionally
+    # take a VMEM bias operand, and a [CO, 1] zeros block costs nothing
+    bias = (jnp.zeros((w.shape[-1], 1), jnp.float32) if b is None
+            else b.astype(jnp.float32).reshape(-1, 1))
     return wm, bias
 
 

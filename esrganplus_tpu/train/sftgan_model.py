@@ -220,39 +220,15 @@ class SFTGANTrainer:
 
     def train_step_resident(self, state, store, rng, batch_size: int,
                             n_steps: int = 1):
-        """``n_steps`` SFT-GAN steps in one dispatch with (LR, seg, HR, cat)
+        """``n_steps`` SFT-GAN steps in one dispatch, (LR, seg, HR, cat)
         sampled ON DEVICE from a
-        :class:`~esrganplus_tpu.data.resident.ResidentSegStore` (see
-        ``SRTrainer.train_step_resident``). Returns the LAST step's logs."""
-        key = (batch_size, n_steps, store.n_crops, store.use_flip,
-               store.use_rot)
-        fn = self._resident_jits.get(key)
-        if fn is None:
-            sample = store.make_sampler(batch_size)
-            rep = replicated(self.mesh)
+        :class:`~esrganplus_tpu.data.resident.ResidentSegStore` (shared
+        executor: ``train/resident_exec.py``)."""
+        from esrganplus_tpu.train.resident_exec import train_step_resident
 
-            def one(state, lr_p, seg_p, hr_p, cat_p, rng):
-                ks, kn = jax.random.split(
-                    jax.random.fold_in(rng, state["step"]))
-                return self._step(state,
-                                  sample(ks, lr_p, seg_p, hr_p, cat_p), kn)
-
-            if n_steps == 1:
-                step = one
-            else:
-                def step(state, lr_p, seg_p, hr_p, cat_p, rng):
-                    s0, logs0 = one(state, lr_p, seg_p, hr_p, cat_p, rng)
-
-                    def body(_, carry):
-                        s, _ = carry
-                        return one(s, lr_p, seg_p, hr_p, cat_p, rng)
-
-                    return jax.lax.fori_loop(1, n_steps, body, (s0, logs0))
-
-            fn = jax.jit(step, in_shardings=(rep,) * 6,
-                         out_shardings=(rep, rep), donate_argnums=(0,))
-            self._resident_jits[key] = fn
-        return fn(state, store.lr, store.seg, store.hr, store.cat, rng)
+        return train_step_resident(self, state, store, rng, batch_size,
+                                   n_steps,
+                                   (store.lr, store.seg, store.hr, store.cat))
 
     def predict(self, g_params, lr_img, seg):
         import functools

@@ -152,41 +152,13 @@ class SRTrainer:
 
     def train_step_resident(self, state, store, rng, batch_size: int,
                             n_steps: int = 1):
-        """``n_steps`` optimizer steps in ONE dispatch with every batch
-        sampled ON DEVICE from a
-        :class:`~esrganplus_tpu.data.resident.ResidentCropStore` — no
-        host↔device batch transfer (measured: runs at the pure-step time
-        where per-step feeding costs 2.5× through a remote tunnel), and for
-        ``n_steps > 1`` a ``lax.fori_loop`` burst amortises the per-step
-        dispatch too. Returns the state and the LAST step's logs."""
-        key = (batch_size, n_steps, store.n_crops, store.use_flip,
-               store.use_rot)
-        fn = self._resident_jits.get(key)
-        if fn is None:
-            sample = store.make_sampler(batch_size)
-            rep = replicated(self.mesh)
+        """``n_steps`` steps in one dispatch, batch sampled ON DEVICE from a
+        :class:`~esrganplus_tpu.data.resident.ResidentCropStore` (shared
+        executor: ``train/resident_exec.py``)."""
+        from esrganplus_tpu.train.resident_exec import train_step_resident
 
-            def one(state, lr_pool, hr_pool, rng):
-                ks, kn = jax.random.split(
-                    jax.random.fold_in(rng, state["step"]))
-                return self._step(state, sample(ks, lr_pool, hr_pool), kn)
-
-            if n_steps == 1:
-                step = one
-            else:
-                def step(state, lr_pool, hr_pool, rng):
-                    s0, logs0 = one(state, lr_pool, hr_pool, rng)
-
-                    def body(_, carry):
-                        s, _ = carry
-                        return one(s, lr_pool, hr_pool, rng)
-
-                    return jax.lax.fori_loop(1, n_steps, body, (s0, logs0))
-
-            fn = jax.jit(step, in_shardings=(rep, rep, rep, rep),
-                         out_shardings=(rep, rep), donate_argnums=(0,))
-            self._resident_jits[key] = fn
-        return fn(state, store.lr, store.hr, rng)
+        return train_step_resident(self, state, store, rng, batch_size,
+                                   n_steps, (store.lr, store.hr))
 
     def predict(self, params, lr_img):
         return self._jit_eval(params, lr_img)

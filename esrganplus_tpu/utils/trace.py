@@ -42,9 +42,16 @@ def _xla_ops_tids(events) -> set:
 
 
 def op_family(name: str) -> str:
-    """Collapse ``fusion.1234`` / ``rdb_ct(...)`` → ``fusion`` / ``rdb_ct``."""
+    """Collapse ``fusion.1234`` / ``rdb_ct(...)`` → ``fusion`` / ``rdb_ct``.
+
+    Only trailing ``.NNN`` instance suffixes (and trailing separator
+    clutter) are stripped — digits INSIDE a name (``conv2d_fusion``) are
+    meaningful and must survive."""
     fam = name.split("(")[0]
-    return "".join(c for c in fam if not c.isdigit()).rstrip("._-")
+    head, dot, tail = fam.rpartition(".")
+    if dot and tail.isdigit():
+        fam = head
+    return fam.rstrip("._-")
 
 
 def aggregate_exclusive(events, steps: int = 1,

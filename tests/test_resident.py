@@ -51,7 +51,7 @@ def test_resident_sampler_matches_host_gather(tmp_path):
     sample = store.make_sampler(batch_size=8)
     key = jax.random.PRNGKey(5)
     lr, hr = jax.jit(sample)(key, store.lr, store.hr)
-    kidx = jax.random.split(key, 4)[0]
+    kidx = jax.random.split(key)[0]
     idx = np.asarray(jax.random.randint(kidx, (8,), 0, 16))
     # 1-ulp tolerance: XLA compiles /255 as multiply-by-reciprocal
     np.testing.assert_allclose(

@@ -53,6 +53,9 @@ def test_op_family():
     assert op_family("jit_rdb_ct(arg0)") == "jit_rdb_ct"
     assert op_family("bitcast_dynamic-update-slice_fusion.3") == \
         "bitcast_dynamic-update-slice_fusion"
+    # digits inside a name are meaningful and must survive
+    assert op_family("conv2d_fusion.3") == "conv2d_fusion"
+    assert op_family("stage1_matmul") == "stage1_matmul"
 
 
 def test_profile_summary_cli(tmp_path, capsys):
