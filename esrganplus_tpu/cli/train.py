@@ -39,6 +39,24 @@ def _export_networks(models_dir, tag, model_kind, state, net_g, net_d):
                           state["d_params"], net_d)
 
 
+def compute_burst_len(step: int, burst: int, niter: int, freqs, prof_points):
+    """Length of the next resident step-burst starting at ``step``.
+
+    Quantised to {burst, 1}: every distinct n_steps value is a separate
+    multi-minute XLA compile of the training step, so boundary remainders
+    run as single steps against the n_steps=1 executable. Bursts never
+    cross a periodic boundary in ``freqs`` (print/val/save/refresh), a
+    profiler start/stop point, or ``niter``."""
+    n = min(burst, niter - step)
+    for f in freqs:
+        if f and f > 0:
+            n = min(n, f - step % f)
+    for p in prof_points:
+        if p is not None and step < p:
+            n = min(n, p - step)
+    return n if n == burst else 1
+
+
 def _get_tb_writer(log_dir: str):
     try:
         from torch.utils.tensorboard import SummaryWriter
@@ -203,18 +221,11 @@ def main(argv=None):
     prof_active = False
 
     def _burst_len(step: int) -> int:
-        n = min(burst, niter - step)
-        for f in (print_freq, val_freq, save_freq,
-                  store.refresh_steps if use_resident else 0):
-            if f and f > 0:
-                n = min(n, f - step % f)
-        for p in (prof_start, prof_stop):
-            if p is not None and step < p:
-                n = min(n, p - step)
-        # quantise to {burst, 1}: every distinct n_steps value is a separate
-        # multi-minute XLA compile of the training step — boundary
-        # remainders run as single steps against the n_steps=1 executable
-        return n if n == burst else 1
+        return compute_burst_len(
+            step, burst, niter,
+            (print_freq, val_freq, save_freq,
+             store.refresh_steps if use_resident else 0),
+            (prof_start, prof_stop))
 
     t_last = time.time()
     step = start_step

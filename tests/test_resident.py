@@ -172,6 +172,35 @@ def test_gan_train_step_resident_runs(tmp_path):
     assert int(state["step"]) == 2
 
 
+def test_compute_burst_len_boundaries():
+    from esrganplus_tpu.cli.train import compute_burst_len
+
+    f = lambda step, **kw: compute_burst_len(
+        step, kw.get("burst", 8), kw.get("niter", 1000),
+        kw.get("freqs", (100, 0, None)), kw.get("prof", (None, None)))
+    assert f(0) == 8                      # clean burst
+    assert f(96) == 1                     # print boundary at 100 → remainder
+    assert f(992, niter=996) == 1         # niter cut
+    assert f(992, niter=1000) == 8        # exactly fits
+    assert f(0, freqs=(4,)) == 1          # freq shorter than burst
+    assert f(0, prof=(10, 30)) == 8       # [0,8) ends before the start at 10
+    assert f(8, prof=(10, 30)) == 1       # would cross the start → remainder
+    assert f(24, prof=(10, 30), freqs=()) == 1   # would cross the stop at 30
+    assert f(32, prof=(10, 30), freqs=()) == 8   # past the window
+    # a full burst never crosses any boundary
+    for step in range(0, 200):
+        n = compute_burst_len(step, 8, 200, (50, 20), (60, 70))
+        assert n in (1, 8)
+        for b in (50, 20):
+            assert (step % b) + n <= b or n == 1 or (step % b) + n <= b
+        end = step + n
+        for b in (50, 20):
+            lo = (step // b) * b + b
+            assert end <= lo or step >= lo
+        for p in (60, 70):
+            assert not (step < p < end)
+
+
 def test_sftgan_resident_store_and_step(tmp_path):
     import torch
 
