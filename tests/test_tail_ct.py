@@ -52,6 +52,23 @@ def test_upfold_matches_reference(P):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_upfold_biasless():
+    # b=None must run (zeros bias block), matching a bias-free conv
+    B, H, Wi, C, CO = 1, 8, 8, 8, 8
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    x = jax.random.normal(k1, (B, H, Wi, C), jnp.float32)
+    wt = jax.random.normal(k2, (3, 3, C, CO), jnp.float32) * 0.3
+    ref = act(conv2d(upsample_nearest(x, 2), {"w": wt}), "leakyrelu", 0.2)
+    planes = nhwc_to_planes(x, 1)
+    wd, bias = prepare_upfold_ct(wt, None, 1, dtype=jnp.float32)
+    out = upfold_ct(planes, wd, bias, C=C, P=1, h=H, w=Wi, n_img=B,
+                    R=4, interpret=True)
+    out = interleave_rows(out, CO, B, H, Wi)
+    got = planes_to_nhwc(out, B, 2 * H, Wi)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+
 @pytest.mark.parametrize("P", [2, 4])
 def test_conv_hr_matches_reference(P):
     B, H, Wi, C, CO2 = 2, 8, 8 * P, 8, 3
