@@ -70,3 +70,23 @@ def test_profile_summary_cli(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "device total: 0.750 ms/step" in out
     assert "fusion" in out
+
+
+def test_enable_compile_cache_fingerprint(monkeypatch, tmp_path):
+    import jax
+
+    from esrganplus_tpu.utils.misc import enable_compile_cache, host_fingerprint
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        # default: .jax_cache/<fingerprint> next to the package
+        monkeypatch.delenv("ESRGANPLUS_JAX_CACHE", raising=False)
+        got = enable_compile_cache()
+        fp = host_fingerprint()
+        assert got.endswith(os.path.join(".jax_cache", fp))
+        assert fp and "/" not in fp
+        # env override used verbatim
+        monkeypatch.setenv("ESRGANPLUS_JAX_CACHE", str(tmp_path))
+        assert enable_compile_cache() == str(tmp_path)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
