@@ -253,6 +253,50 @@ def test_sftgan_resident_store_and_step(tmp_path):
     assert set(u.tolist()) <= {0.0, 1.0}
 
 
+def test_cli_train_sftgan_resident_e2e(tmp_path):
+    # sftgan through the real CLI with the seg-aware resident store
+    import torch
+
+    root = str(tmp_path)
+    img_dir = os.path.join(root, "img")
+    seg_dir = os.path.join(root, "bicseg")
+    os.makedirs(seg_dir)
+    rng = np.random.RandomState(5)
+    for i in range(3):
+        img = (rng.rand(128, 128, 3) * 255).astype(np.uint8)
+        save_img(img, os.path.join(img_dir, f"0{i+1}_a.png"))
+        onehot = np.zeros((8, 128, 128), np.float32)
+        onehot[(i + 1) % 8] = 1.0
+        torch.save(torch.from_numpy(onehot),
+                   os.path.join(seg_dir, f"0{i+1}_a.pth"))
+    opt = {
+        "name": "debug_res_sft",
+        "model": "sftgan", "scale": 4, "use_tb_logger": False,
+        "datasets": {"train": {
+            "name": "s", "mode": "LRHRseg_bg", "dataroot_HR": img_dir,
+            "n_workers": 0, "batch_size": 8, "HR_size": 96,
+            "use_flip": True, "use_rot": True,
+            "resident_crops": 8, "resident_refresh": 0,
+        }},
+        "path": {"root": root},
+        "network_G": {"which_model_G": "sft_arch", "nb": 1},
+        "network_D": {"which_model_D": "dis_acd"},
+        "train": {"lr_G": 1e-4, "lr_D": 1e-4, "lr_scheme": "MultiStepLR",
+                  "lr_steps": [100], "pixel_criterion": "l1",
+                  "feature_weight": 0, "D_init_iters": 0,
+                  "other_start_iter": 0, "niter": 2},
+        "logger": {"print_freq": 2, "save_checkpoint_freq": 4},
+    }
+    opt_path = os.path.join(root, "opt.json")
+    with open(opt_path, "w") as f:
+        json.dump(opt, f)
+    from esrganplus_tpu.cli.train import main
+
+    main(["-opt", opt_path])
+    assert os.path.exists(os.path.join(root, "experiments", "debug_res_sft",
+                                       "models", "latest_G.pth"))
+
+
 def test_cli_train_resident_e2e(tmp_path):
     # the training CLI runs end-to-end with resident_crops enabled
     root = str(tmp_path)
