@@ -62,6 +62,27 @@ def main(argv=None):
     from esrganplus_tpu.utils.misc import enable_compile_cache
 
     enable_compile_cache()
+
+    # backend-init watchdog: on a remote-attached runtime a dead tunnel makes
+    # jax.devices() hang forever — fail fast and loud instead so callers see
+    # an error rather than a wedged process. 180 s >> the healthy first-init.
+    import sys
+    import threading
+
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(180):
+            print("bench.py: device backend failed to initialise within "
+                  "180 s (remote runtime unreachable?) — aborting",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    devs = jax.devices()
+    init_done.set()
+    print(f"# devices: {devs}", file=sys.stderr)
+
     import jax.numpy as jnp
 
     from esrganplus_tpu.models import RRDBNetConfig, init_rrdbnet, rrdbnet_forward
