@@ -471,8 +471,47 @@ def _make_rrdb_goldens():
     )
 
 
+def make_transfer_sft_golden():
+    """Key-mapping golden for ``transfer_params --sft``, produced by EXECUTING
+    the reference script (``codes/scripts/transfer_params_sft.py``) on a tiny
+    tagged SRGAN checkpoint: torch.load/save are patched so the script's
+    hard-coded paths resolve to in-memory dicts, every source tensor carries a
+    unique value, and the captured output is inverted into {dst_key: src_key}.
+    The template dict is empty, so the script's re-init loop is a no-op and
+    only its explicit key assignments land in the capture."""
+    import json
+
+    import torch
+
+    src_names = ["model.0"]
+    for i in range(16):
+        src_names += [f"model.1.sub.{i}.res.0", f"model.1.sub.{i}.res.2"]
+    src_names += ["model.1.sub.16", "model.2", "model.5", "model.8", "model.10"]
+    src = {}
+    for name in src_names:
+        for suffix in (".weight", ".bias"):
+            src[name + suffix] = torch.tensor([float(len(src) + 1)])
+
+    captured = {}
+    real_load, real_save = torch.load, torch.save
+    torch.load = lambda path, *a, **k: src if "SRGAN" in str(path) else {}
+    torch.save = lambda obj, path, *a, **k: captured.update(obj)
+    try:
+        script = os.path.join(REF, "codes", "scripts", "transfer_params_sft.py")
+        with open(script) as f:
+            exec(compile(f.read(), script, "exec"), {"__name__": "__main__"})
+    finally:
+        torch.load, torch.save = real_load, real_save
+
+    val_to_src = {float(v): k for k, v in src.items()}
+    mapping = {k: val_to_src[float(v)] for k, v in captured.items()}
+    with open(os.path.join(GOLDEN, "transfer_sft_map.json"), "w") as f:
+        json.dump(mapping, f, indent=1, sort_keys=True)
+
+
 if __name__ == "__main__":
     main()
+    make_transfer_sft_golden()
 
 
 def ensure_sn_goldens() -> bool:

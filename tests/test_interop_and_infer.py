@@ -184,6 +184,50 @@ def test_net_interp_blend():
     np.testing.assert_allclose(out["only_b"], 0.5)  # blended against zeros
 
 
+def test_transfer_params_sft_mapping_matches_reference_golden():
+    """The SRGAN→SFT seed mapping must equal, key for key, what the actual
+    reference script produces (tests/golden/transfer_sft_map.json is generated
+    by EXECUTING codes/scripts/transfer_params_sft.py on a tagged tiny
+    checkpoint — see make_goldens.make_transfer_sft_golden). Catches any
+    index drift in srgan_to_sft_map (e.g. the off-by-one sft_branch.17 ←
+    model.1.sub.16 row)."""
+    import json
+
+    from esrganplus_tpu.cli.transfer_params import srgan_to_sft_map
+
+    with open(os.path.join(GOLDEN, "transfer_sft_map.json")) as f:
+        golden = json.load(f)
+    ours = {dst + suf: src + suf
+            for dst, src in srgan_to_sft_map(16).items()
+            for suf in (".weight", ".bias")}
+    assert ours == golden
+
+
+def test_transfer_params_sft_cli_e2e(tmp_path):
+    """--sft end to end: every mapped template key receives the source tensor,
+    unmapped template keys keep their template values."""
+    import torch
+
+    from esrganplus_tpu.cli.transfer_params import main as tp_main
+    from esrganplus_tpu.cli.transfer_params import srgan_to_sft_map
+    from esrganplus_tpu.convert import load_state_dict
+
+    mapping = {d + s: k + s for d, k in srgan_to_sft_map(16).items()
+               for s in (".weight", ".bias")}
+    src = {k: torch.tensor([100.0 + i])
+           for i, k in enumerate(sorted(set(mapping.values())))}
+    template = {k: torch.tensor([0.5]) for k in mapping}
+    template["CondNet.0.weight"] = torch.tensor([0.25])  # no SRGAN source
+    src_p, tpl_p, out_p = (str(tmp_path / n) for n in ("s.pth", "t.pth", "o.pth"))
+    torch.save(src, src_p)
+    torch.save(template, tpl_p)
+    tp_main([src_p, tpl_p, out_p, "--sft"])
+    out = load_state_dict(out_p)
+    for dst, srck in mapping.items():
+        np.testing.assert_array_equal(out[dst], src[srck].numpy())
+    np.testing.assert_array_equal(out["CondNet.0.weight"], [0.25])
+
+
 def test_sharded_evaluator_sft_side_input():
     """SFT-GAN generators carry an HR-scale seg side input; the evaluator
     shards both over the data axis (cli/train.py's sftgan val path)."""
