@@ -267,8 +267,11 @@ def main(argv=None):
             psnrs = []
             scale = net_g.upscale
             # shard validation images across the mesh's data axis (SFT rides
-            # its HR-scale seg maps along as the evaluator's side input)
-            if mesh.shape["data"] > 1:
+            # its HR-scale seg maps along as the evaluator's side input).
+            # eval_sharded: false forces the sequential whole-image protocol —
+            # padded/sharded eval is interior-exact but not bit-identical at
+            # pad borders (docs/OPTIONS.md "Validation border caveat").
+            if mesh.shape["data"] > 1 and opt.get("eval_sharded") is not False:
                 if sharded_eval is None:
                     from esrganplus_tpu.infer import ShardedEvaluator
 
