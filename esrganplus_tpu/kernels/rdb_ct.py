@@ -605,6 +605,131 @@ def conv3x3_ct(x, wm, bias=None, res=None, *, cin: int, cout: int, h: int,
 
 
 # ---------------------------------------------------------------------------
+# generic 3×3 conv backward + custom VJP (training tail/epilogue use)
+# ---------------------------------------------------------------------------
+
+
+def _conv3x3_ct_bwd_kernel(x_ref, w_ref, g_ref, dx_ref, dw_ref, db_ref,
+                           im_ref, *, cin: int, cout: int, H: int, W: int,
+                           il: int):
+    """Adjoint of ``_conv_ct_kernel`` (bias, residual, no activation):
+    dW' = combine_adj(g) · IM3ᵀ, dx = untap3(W'ᵀ · combine_adj(g)),
+    db = Σ g. dW/db accumulate across the grid (f32 blocks revisited)."""
+    m = H * W
+    f32 = jnp.float32
+    dt = x_ref.dtype
+    maskl, maskr = _col_masks(m, W, f32)
+
+    def im(i):
+        return slice(i * m, (i + 1) * m)
+
+    def combine_adj(dy):
+        return jnp.concatenate([
+            _lane_shift(dy * maskl, 1), dy, _lane_shift(dy * maskr, -1)], 0)
+
+    first = pl.program_id(0) == 0
+
+    def acc(ref, val):
+        @pl.when(first)
+        def _():
+            ref[...] = val
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            ref[...] = ref[...] + val
+
+    dw_acc = None
+    db_acc = None
+    for i in range(il):
+        for r in range(3):
+            im_ref[r * cin:(r + 1) * cin, im(i)] = \
+                _lane_shift(x_ref[:, im(i)], (r - 1) * W)
+        g = g_ref[:, im(i)].astype(f32)
+        dY = combine_adj(g).astype(dt)
+        dwi = jax.lax.dot_general(dY, im_ref[:, im(i)],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+        dbi = jnp.sum(g, axis=1, keepdims=True)
+        dw_acc = dwi if dw_acc is None else dw_acc + dwi
+        db_acc = dbi if db_acc is None else db_acc + dbi
+        dim = jax.lax.dot_general(w_ref[:], dY, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=f32)
+        dx = (_lane_shift(dim[0:cin], W)
+              + dim[cin:2 * cin]
+              + _lane_shift(dim[2 * cin:3 * cin], -W))
+        dx_ref[:, im(i)] = dx.astype(dt)
+    acc(dw_ref, dw_acc)
+    acc(db_ref, db_acc)
+
+
+@functools.partial(jax.jit, static_argnames=("cin", "cout", "h", "w", "n_img",
+                                             "interleave", "interpret"))
+def _conv3x3_ct_bwd(x, wm, g, *, cin: int, cout: int, h: int, w: int,
+                    n_img: int, interleave: int = 1,
+                    interpret: bool = False):
+    m_img = h * w
+    il = interleave if n_img % interleave == 0 else 1
+    kernel = functools.partial(_conv3x3_ct_bwd_kernel, cin=cin, cout=cout,
+                               H=h, W=w, il=il)
+    vfull = lambda shape: pl.BlockSpec(shape, lambda g_: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    blk = lambda c: pl.BlockSpec((c, il * m_img), lambda g_: (0, g_),
+                                 memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        kernel,
+        grid=(n_img // il,),
+        in_specs=[blk(cin), vfull(wm.shape), blk(cout)],
+        out_specs=(blk(cin), vfull(wm.shape), vfull((cout, 1))),
+        out_shape=(jax.ShapeDtypeStruct((cin, n_img * m_img), x.dtype),
+                   jax.ShapeDtypeStruct(wm.shape, f32),
+                   jax.ShapeDtypeStruct((cout, 1), f32)),
+        scratch_shapes=[pltpu.VMEM((3 * cin, il * m_img), x.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024),
+        interpret=interpret,
+    )(x, wm, g)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_conv3x3_ct_diff(cin: int, cout: int, h: int, w: int, n_img: int,
+                          interleave: int, interpret: bool):
+    @jax.custom_vjp
+    def f(x, wm, bias, res):
+        return conv3x3_ct(x, wm.astype(x.dtype), bias, res, cin=cin,
+                          cout=cout, h=h, w=w, n_img=n_img,
+                          interleave=interleave, interpret=interpret)
+
+    def fwd(x, wm, bias, res):
+        return f(x, wm, bias, res), (x, wm)
+
+    def bwd(saved, g):
+        x, wm = saved
+        dx, dwm, db = _conv3x3_ct_bwd(x, wm.astype(x.dtype), g.astype(x.dtype),
+                                      cin=cin, cout=cout, h=h, w=w,
+                                      n_img=n_img, interleave=interleave,
+                                      interpret=interpret)
+        dx, dwm, db = jax.lax.optimization_barrier((dx, dwm, db))
+        return dx, dwm.astype(wm.dtype), db, g
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def conv3x3_ct_diff(x, wm, bias, res, *, cin: int, cout: int, h: int, w: int,
+                    n_img: int = 1, interleave: int = 1,
+                    interpret: bool = False):
+    """Differentiable :func:`conv3x3_ct` (bias + residual, no activation) —
+    the training twin of the inference trunk-conv/global-residual fold.
+    Pass ``wm`` in the master (f32) dtype; it is cast to ``x.dtype`` for
+    compute and ``dwm`` comes back f32 (in-kernel batch accumulation).
+    ``dres`` is the output cotangent unchanged (identity residual path)."""
+    assert bias is not None and res is not None
+    fn = _make_conv3x3_ct_diff(cin, cout, h, w, n_img, interleave, interpret)
+    return fn(x, wm, bias, res)
+
+
+# ---------------------------------------------------------------------------
 # backward (training)
 # ---------------------------------------------------------------------------
 

@@ -476,6 +476,443 @@ def conv_hr_ct(planes, w0, b0, w1, b1, *, C: int, P: int, CO2: int, h: int,
     return list(out)
 
 
+# ---------------------------------------------------------------------------
+# backward (training): custom-VJP pairs for the tail kernels
+#
+# Round-3 training still ran the XLA tail: hr_conv1's dW alone cost 0.81 ms
+# per step (bf16[3]-channel output lane-padded to the 128 tile) plus ~2 ms of
+# NHWC↔planes relayout/cast glue. These adjoints keep the whole tail —
+# forward AND backward — in the column-phase-plane layout. Structure mirrors
+# rdb_ct's backward: combine's adjoint scatters the cotangent into the
+# column-tap row groups (masked reverse lane-shifts), dW = dY·IM3ᵀ rides the
+# same stripe grid with f32 accumulation across grid steps, and the window
+# assembly's adjoint splits into the stripe core (→ dx blocks) plus the halo
+# rows (→ d_edge blocks, scattered back into the planes by the XLA transpose
+# of the stripe_edges gather — see the _diff wrappers).
+# ---------------------------------------------------------------------------
+
+
+def _acc_slice(first, ref, idx, val):
+    """Accumulate ``val`` into ``ref[idx]`` across grid revisits."""
+    @pl.when(first)
+    def _():
+        ref[idx] = val
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ref[idx] = ref[idx] + val
+
+
+def _pad_core(v, W: int, pad_rows: int, f32):
+    """[S, Mo] core-lane tensor → [S+pad_rows, Mo+2W] (zeros on the halo
+    lanes and on the sublane-pad rows)."""
+    S, Mo = v.shape
+    z = jnp.zeros((S, W), f32)
+    out = jnp.concatenate([z, v, z], 1)
+    if pad_rows:
+        out = jnp.concatenate(
+            [out, jnp.zeros((pad_rows, Mo + 2 * W), f32)], 0)
+    return out
+
+
+def _scatter_window_adj(dwin, dx_ref, de_ref, C: int, W: int, R: int,
+                        halo: int, packed: bool, dt):
+    """Adjoint of ``_fill_window``: core rows → the stripe's dx block
+    (de-interleaved for packed inputs), halo rows → the d_edge block."""
+    base = halo * W
+    if not packed:
+        dx_ref[:, :] = dwin[:, base:base + R * W].astype(dt)
+    else:
+        for j in range(R // 2):
+            dx_ref[0:C, j * W:(j + 1) * W] = \
+                dwin[:, base + 2 * j * W:base + (2 * j + 1) * W].astype(dt)
+            dx_ref[C:2 * C, j * W:(j + 1) * W] = \
+                dwin[:, base + (2 * j + 1) * W:base + (2 * j + 2) * W].astype(dt)
+    de_ref[0, :, 0:halo * W] = dwin[:, 0:halo * W].astype(dt)
+    de_ref[0, :, halo * W:2 * halo * W] = \
+        dwin[:, base + R * W:base + (R + halo) * W].astype(dt)
+
+
+def _upfold_bwd_kernel(*refs, C: int, P: int, W: int, R: int, slope: float,
+                       packed: bool):
+    """Adjoint of ``_upfold_kernel``. Inputs: the forward's inputs (stripe
+    blocks, edges, wd), the forward OUTPUTS (lrelu masks come from their
+    signs — no extra residuals), and the output cotangents. Emits dx stripe
+    blocks + d_edge blocks (dt) and grid-accumulated dwd/dbias (f32)."""
+    xs = refs[:P]
+    es = refs[P:2 * P]
+    wd_ref = refs[2 * P]
+    outs = refs[2 * P + 1:4 * P + 1]
+    gs = refs[4 * P + 1:6 * P + 1]
+    dxs = refs[6 * P + 1:7 * P + 1]
+    des = refs[7 * P + 1:8 * P + 1]
+    dwd_ref, db_ref = refs[8 * P + 1:8 * P + 3]
+    win_ref, im_ref, dim_ref = refs[8 * P + 3:]
+    CO = wd_ref.shape[2] // 4
+    Mo = R * W
+    f32 = jnp.float32
+    dt = win_ref.dtype
+    groups = upfold_groups(P)
+    maskl, maskr = _col_masks((1, Mo), W, f32)
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    # dz per (q, d): cotangent through the lrelu (mask = sign of the saved
+    # forward output; lrelu preserves sign)
+    dacc = {}
+    db = None
+    for q in range(2 * P):
+        g = gs[q][:, :].astype(f32)
+        mask = outs[q][:, :].astype(f32) >= 0
+        dz = jnp.where(mask, g, g * slope)
+        for d in (0, 1):
+            dacc[(q, d)] = dz[d * CO:(d + 1) * CO]
+        s = jnp.sum(dz[0:CO], axis=1, keepdims=True) \
+            + jnp.sum(dz[CO:2 * CO], axis=1, keepdims=True)
+        db = s if db is None else db + s
+    _acc_slice(first, db_ref, (slice(None), slice(None)), db)
+
+    def adj_sig(v, sig):
+        if sig == -1:
+            return _lane_shift(v * maskl, 1)
+        if sig == 1:
+            return _lane_shift(v * maskr, -1)
+        return v
+
+    for p in range(P):
+        _fill_window(win_ref, xs[p], es[p], R, W, 1, packed)
+        win = win_ref[:, :]
+        for r in range(3):
+            im_ref[r * C:(r + 1) * C, :] = _lane_shift(win, (r - 1) * W)
+        for d in (0, 1):
+            rows = [_pad_core(adj_sig(dacc[(q, d)], sig), W, 0, f32)
+                    for (q, sig, _t) in groups[p]]
+            dy = jnp.concatenate(rows, 0).astype(dt)       # [4CO, (R+2)W]
+            dwv = jax.lax.dot_general(
+                dy, im_ref[d * C:d * C + 2 * C, :],
+                (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            _acc_slice(first, dwd_ref, (p, d), dwv)
+            dimv = jax.lax.dot_general(
+                wd_ref[p, d], dy, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)                 # [2C, (R+2)W]
+            if d == 0:
+                dim_ref[0:2 * C, :] = dimv
+            else:
+                dim_ref[C:2 * C, :] = dim_ref[C:2 * C, :] + dimv[0:C]
+                dim_ref[2 * C:3 * C, :] = dimv[C:2 * C]
+        dwin = (_lane_shift(dim_ref[0:C, :], W)
+                + dim_ref[C:2 * C, :]
+                + _lane_shift(dim_ref[2 * C:3 * C, :], -W))
+        _scatter_window_adj(dwin, dxs[p], des[p], C, W, R, 1, packed, dt)
+
+
+def _conv_hr_bwd_kernel(*refs, C: int, P: int, CO2: int, W: int, R: int,
+                        slope: float, packed: bool):
+    """Adjoint of ``_conv_hr_kernel``. Pass 1 (conv0 + lrelu + rowmask) is
+    recomputed per stripe — conv0's output never left VMEM in the forward,
+    so there is nothing to save; the recompute is one extra dot per plane,
+    exactly the forward's. Then conv1's adjoint (dw1, dhid), the lrelu/
+    rowmask gate, and conv0's adjoint (dw0, dx + d_edges)."""
+    xs = refs[:P]
+    es = refs[P:2 * P]
+    w0_ref, b0_ref, w1_ref = refs[2 * P:2 * P + 3]
+    gs = refs[2 * P + 3:3 * P + 3]
+    dxs = refs[3 * P + 3:4 * P + 3]
+    des = refs[4 * P + 3:5 * P + 3]
+    dw0_ref, db0_ref, dw1_ref, db1_ref = refs[5 * P + 3:5 * P + 7]
+    win_ref, im_ref, dim_ref = refs[5 * P + 7:]
+    gs0 = w0_ref.shape[1] // 3
+    gs1 = w1_ref.shape[1] // 3
+    Mo = R * W                 # conv1 core
+    M1 = (R + 2) * W           # conv0 core = conv1 window
+    Mw = (R + 4) * W           # conv0 window
+    f32 = jnp.float32
+    dt = win_ref.dtype
+    groups = conv_groups(P)
+    maskl1, maskr1 = _col_masks((1, M1), W, f32)
+    maskl0, maskr0 = _col_masks((1, Mo), W, f32)
+    lrelu = lambda t: jnp.where(t >= 0, t, t * slope)
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    # the forward's outside-image rowmask on the pass-1 halo rows
+    g_id = pl.program_id(1)
+    n_str = pl.num_programs(1)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, M1), 1) // W
+    glob_row = g_id * R - 1 + lane_row
+    inside = jnp.logical_and(glob_row >= 0, glob_row < n_str * R)
+    rowmask_dt = inside.astype(dt)
+    rowmask32 = inside.astype(f32)
+
+    def adj_sig(v, sig, ml, mr):
+        if sig == -1:
+            return _lane_shift(v * ml, 1)
+        if sig == 1:
+            return _lane_shift(v * mr, -1)
+        return v
+
+    def rebuild_im(p):
+        _fill_window(win_ref, xs[p], es[p], R, W, 2, packed)
+        for r in range(3):
+            im_ref[r * C:(r + 1) * C, :] = _lane_shift(win_ref[:, :],
+                                                       (r - 1) * W)
+
+    # ---- recompute pass 1 (bit-identical to the forward) ----
+    z0 = {}
+    for p in range(P):
+        rebuild_im(p)
+        y = jax.lax.dot_general(w0_ref[p], im_ref[:, :],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=f32)
+        for gi, (q, s, sig) in enumerate(groups[p]):
+            v = y[gi * gs0:(gi + 1) * gs0, W:W + M1]
+            v = (_lane_shift(v, -1) * maskl1 if sig == -1 else
+                 _lane_shift(v, 1) * maskr1 if sig == 1 else v)
+            z0[q] = v if q not in z0 else z0[q] + v
+    z0 = {q: z0[q][0:C] + b0_ref[:] for q in range(P)}
+    hid = {q: lrelu(z0[q]).astype(dt) * rowmask_dt for q in range(P)}
+
+    # ---- pass-2 (conv1) adjoint ----
+    dacc2 = {q: gs[q][:, :].astype(f32) for q in range(P)}
+    db1 = None
+    for q in range(P):
+        s = jnp.sum(dacc2[q], axis=1, keepdims=True)
+        db1 = s if db1 is None else db1 + s
+    _acc_slice(first, db1_ref, (slice(None), slice(None)), db1)
+
+    dhid = {}
+    for p in range(P):
+        for r in range(3):
+            im_ref[r * C:(r + 1) * C, 0:M1] = _lane_shift(hid[p], (r - 1) * W)
+        rows = [_pad_core(adj_sig(dacc2[q], sig, maskl0, maskr0), W,
+                          gs1 - CO2, f32)
+                for (q, s, sig) in groups[p]]
+        dy1 = jnp.concatenate(rows, 0).astype(dt)          # [3·gs1, M1]
+        dwv = jax.lax.dot_general(dy1, im_ref[0:3 * C, 0:M1],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+        _acc_slice(first, dw1_ref, (p,), dwv)
+        dimv = jax.lax.dot_general(w1_ref[p], dy1, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+        dhid[p] = (_lane_shift(dimv[0:C], W)
+                   + dimv[C:2 * C]
+                   + _lane_shift(dimv[2 * C:3 * C], -W))   # [C, M1] f32
+
+    # ---- lrelu / rowmask gate ----
+    dz0 = {q: jnp.where(z0[q] >= 0, dhid[q], dhid[q] * slope) * rowmask32
+           for q in range(P)}
+    db0 = None
+    for q in range(P):
+        s = jnp.sum(dz0[q], axis=1, keepdims=True)
+        db0 = s if db0 is None else db0 + s
+    _acc_slice(first, db0_ref, (slice(None), slice(None)), db0)
+
+    # ---- pass-1 (conv0) adjoint ----
+    for p in range(P):
+        rebuild_im(p)
+        rows = [_pad_core(adj_sig(dz0[q], sig, maskl1, maskr1), W,
+                          gs0 - C, f32)
+                for (q, s, sig) in groups[p]]
+        dy0 = jnp.concatenate(rows, 0).astype(dt)          # [3·gs0, Mw]
+        dwv = jax.lax.dot_general(dy0, im_ref[:, :],
+                                  (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+        _acc_slice(first, dw0_ref, (p,), dwv)
+        dimv = jax.lax.dot_general(w0_ref[p], dy0, (((0,), (0,)), ((), ())),
+                                   preferred_element_type=f32)
+        dim_ref[:, :] = dimv
+        dwin = (_lane_shift(dim_ref[0:C, :], W)
+                + dim_ref[C:2 * C, :]
+                + _lane_shift(dim_ref[2 * C:3 * C, :], -W))  # [C, Mw]
+        _scatter_window_adj(dwin, dxs[p], des[p], C, W, R, 2, packed, dt)
+
+
+def _edge_fn(packed_in: bool, C: int, n_img: int, h: int, w: int, R: int,
+             halo: int):
+    if packed_in:
+        return lambda xp: stripe_edges_packed(xp, C, n_img, h, w, R, halo)
+    return lambda xp: stripe_edges(xp, n_img, h, w, R, halo)
+
+
+def _plane_grads(planes, dxs, des, efn):
+    """dx stripe blocks + d_edge scatter (the XLA transpose of the
+    stripe_edges gather) → per-plane input cotangents."""
+    out = []
+    for p, dx, de in zip(planes, dxs, des):
+        _, pullback = jax.vjp(efn, p)
+        (dpe,) = pullback(de)
+        out.append(dx + dpe)
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_upfold_ct_diff(C: int, P: int, h: int, w: int, n_img: int,
+                         R: Optional[int], slope: float, packed_in: bool,
+                         interpret: bool):
+    Rv = _pick_R(h, R, packed_in)
+    n_str = h // Rv
+    M = n_img * h * w
+    efn = _edge_fn(packed_in, C, n_img, h, w, Rv, 1)
+
+    @jax.custom_vjp
+    def f(wd, bias, *planes):
+        wdt = wd.astype(planes[0].dtype)
+        return tuple(upfold_ct(list(planes), wdt, bias, C=C, P=P, h=h, w=w,
+                               n_img=n_img, R=Rv, slope=slope,
+                               packed_in=packed_in, interpret=interpret))
+
+    def fwd(wd, bias, *planes):
+        outs = f(wd, bias, *planes)
+        return outs, (wd, planes, outs)
+
+    def bwd(saved, gs):
+        wd, planes, outs = saved
+        dt = planes[0].dtype
+        CO = wd.shape[2] // 4
+        edges = [efn(p) for p in planes]
+        kernel = functools.partial(_upfold_bwd_kernel, C=C, P=P, W=w, R=Rv,
+                                   slope=slope, packed=packed_in)
+        stripe = lambda c: pl.BlockSpec((c, Rv * w),
+                                        lambda i, g: (0, i * n_str + g),
+                                        memory_space=pltpu.VMEM)
+        pstripe = lambda: pl.BlockSpec((2 * C, (Rv // 2) * w),
+                                       lambda i, g: (0, i * n_str + g),
+                                       memory_space=pltpu.VMEM)
+        edge = lambda: pl.BlockSpec((1, C, 2 * w),
+                                    lambda i, g: (i * n_str + g, 0, 0),
+                                    memory_space=pltpu.VMEM)
+        vfull = lambda shape: pl.BlockSpec(shape,
+                                           lambda i, g: (0,) * len(shape),
+                                           memory_space=pltpu.VMEM)
+        x_spec = pstripe() if packed_in else stripe(C)
+        x_shape = ((2 * C, M // 2) if packed_in else (C, M))
+        f32 = jnp.float32
+        res = pl.pallas_call(
+            kernel,
+            grid=(n_img, n_str),
+            in_specs=([x_spec] * P + [edge()] * P + [vfull(wd.shape)]
+                      + [stripe(2 * CO)] * (2 * P) * 2),
+            out_specs=tuple([x_spec] * P + [edge()] * P
+                            + [vfull(wd.shape), vfull((CO, 1))]),
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct(x_shape, dt)] * P
+                + [jax.ShapeDtypeStruct((n_img * n_str, C, 2 * w), dt)] * P
+                + [jax.ShapeDtypeStruct(wd.shape, f32),
+                   jax.ShapeDtypeStruct((CO, 1), f32)]),
+            scratch_shapes=[pltpu.VMEM((C, (Rv + 2) * w), dt),
+                            pltpu.VMEM((3 * C, (Rv + 2) * w), dt),
+                            pltpu.VMEM((3 * C, (Rv + 2) * w), f32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024),
+            interpret=interpret,
+        )(*(list(planes) + edges + [wd.astype(dt)] + list(outs) + list(gs)))
+        res = jax.lax.optimization_barrier(res)
+        dxs, des = res[:P], res[P:2 * P]
+        dwd, db = res[2 * P], res[2 * P + 1]
+        return (dwd.astype(wd.dtype), db) + _plane_grads(planes, dxs, des, efn)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def upfold_ct_diff(planes, wd, bias, *, C: int, P: int, h: int, w: int,
+                   n_img: int, R: Optional[int] = None, slope: float = 0.2,
+                   packed_in: bool = False, interpret: bool = False):
+    """Differentiable :func:`upfold_ct`. Pass ``wd`` in the master (f32)
+    dtype; gradients come back f32 (in-kernel grid accumulation). Input
+    cotangents = dx stripe blocks + the stripe_edges transpose scatter."""
+    fn = _make_upfold_ct_diff(C, P, h, w, n_img, R, slope, packed_in,
+                              interpret)
+    return list(fn(wd, bias, *planes))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_conv_hr_ct_diff(C: int, P: int, CO2: int, h: int, w: int,
+                          n_img: int, R: Optional[int], slope: float,
+                          packed_in: bool, interpret: bool):
+    Rv = _pick_R(h, R, packed_in)
+    n_str = h // Rv
+    M = n_img * h * w
+    efn = _edge_fn(packed_in, C, n_img, h, w, Rv, 2)
+
+    @jax.custom_vjp
+    def f(w0, b0, w1, b1, *planes):
+        dt = planes[0].dtype
+        return tuple(conv_hr_ct(list(planes), w0.astype(dt), b0,
+                                w1.astype(dt), b1, C=C, P=P, CO2=CO2, h=h,
+                                w=w, n_img=n_img, R=Rv, slope=slope,
+                                packed_in=packed_in, interpret=interpret))
+
+    def fwd(w0, b0, w1, b1, *planes):
+        return f(w0, b0, w1, b1, *planes), (w0, b0, w1, planes)
+
+    def bwd(saved, gs):
+        w0, b0, w1, planes = saved
+        dt = planes[0].dtype
+        gs0 = w0.shape[1] // 3
+        gs1 = w1.shape[1] // 3
+        edges = [efn(p) for p in planes]
+        kernel = functools.partial(_conv_hr_bwd_kernel, C=C, P=P, CO2=CO2,
+                                   W=w, R=Rv, slope=slope, packed=packed_in)
+        stripe = lambda c: pl.BlockSpec((c, Rv * w),
+                                        lambda i, g: (0, i * n_str + g),
+                                        memory_space=pltpu.VMEM)
+        pstripe = lambda: pl.BlockSpec((2 * C, (Rv // 2) * w),
+                                       lambda i, g: (0, i * n_str + g),
+                                       memory_space=pltpu.VMEM)
+        edge = lambda: pl.BlockSpec((1, C, 4 * w),
+                                    lambda i, g: (i * n_str + g, 0, 0),
+                                    memory_space=pltpu.VMEM)
+        vfull = lambda shape: pl.BlockSpec(shape,
+                                           lambda i, g: (0,) * len(shape),
+                                           memory_space=pltpu.VMEM)
+        x_spec = pstripe() if packed_in else stripe(C)
+        x_shape = ((2 * C, M // 2) if packed_in else (C, M))
+        f32 = jnp.float32
+        res = pl.pallas_call(
+            kernel,
+            grid=(n_img, n_str),
+            in_specs=([x_spec] * P + [edge()] * P
+                      + [vfull(w0.shape), vfull(b0.shape), vfull(w1.shape)]
+                      + [stripe(CO2)] * P),
+            out_specs=tuple([x_spec] * P + [edge()] * P
+                            + [vfull(w0.shape), vfull((C, 1)),
+                               vfull(w1.shape), vfull((CO2, 1))]),
+            out_shape=tuple(
+                [jax.ShapeDtypeStruct(x_shape, dt)] * P
+                + [jax.ShapeDtypeStruct((n_img * n_str, C, 4 * w), dt)] * P
+                + [jax.ShapeDtypeStruct(w0.shape, f32),
+                   jax.ShapeDtypeStruct((C, 1), f32),
+                   jax.ShapeDtypeStruct(w1.shape, f32),
+                   jax.ShapeDtypeStruct((CO2, 1), f32)]),
+            scratch_shapes=[pltpu.VMEM((C, (Rv + 4) * w), dt),
+                            pltpu.VMEM((3 * C, (Rv + 4) * w), dt),
+                            pltpu.VMEM((3 * C, (Rv + 4) * w), f32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=112 * 1024 * 1024),
+            interpret=interpret,
+        )(*(list(planes) + edges
+            + [w0.astype(dt), b0, w1.astype(dt)] + list(gs)))
+        res = jax.lax.optimization_barrier(res)
+        dxs, des = res[:P], res[P:2 * P]
+        dw0, db0, dw1, db1 = res[2 * P:2 * P + 4]
+        return ((dw0.astype(w0.dtype), db0, dw1.astype(w1.dtype), db1)
+                + _plane_grads(planes, dxs, des, efn))
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def conv_hr_ct_diff(planes, w0, b0, w1, b1, *, C: int, P: int, CO2: int,
+                    h: int, w: int, n_img: int, R: Optional[int] = None,
+                    slope: float = 0.2, packed_in: bool = False,
+                    interpret: bool = False):
+    """Differentiable :func:`conv_hr_ct`. conv0's output never left VMEM in
+    the forward, so the backward recomputes pass 1 per stripe (one extra dot
+    per plane) instead of saving it; weights cross in master f32."""
+    fn = _make_conv_hr_ct_diff(C, P, CO2, h, w, n_img, R, slope, packed_in,
+                               interpret)
+    return list(fn(w0, b0, w1, b1, *planes))
+
+
 def unphase_columns(planes, n_img: int, h: int, w: int):
     """List of P ``[C, n_img·h·w]`` column-phase planes → NHWC
     [n_img, h, P·w, C] (cheap: only the C-channel final output)."""

@@ -279,36 +279,46 @@ def _use_pallas_tail(cfg: RRDBNetConfig) -> bool:
 
 
 def _tail_pallas(params: Params, xt: jnp.ndarray, cfg: RRDBNetConfig, kdt,
-                 b: int, h: int, w: int) -> jnp.ndarray:
+                 b: int, h: int, w: int, train: bool = False) -> jnp.ndarray:
     """[nf, B·h·w] trunk output → NHWC f32 SR image via the column-phase
     tail kernels (kernels/tail_ct.py): fused nearest-×2+conv+lrelu stages,
     then hr_conv0+hr_conv1 in one kernel. Channels never touch the lane
-    dimension, no pixel-shuffle relayouts of 64-channel HR tensors."""
+    dimension, no pixel-shuffle relayouts of 64-channel HR tensors.
+
+    ``train`` switches to the custom-VJP pairs (weights prepared in master
+    f32, cast at the kernel boundary, f32 gradient accumulation) — the
+    whole tail backward stays in the plane layout, eliminating hr_conv1's
+    lane-padded XLA dW (0.81 ms/step) and the NHWC relayout glue."""
     from esrganplus_tpu.kernels.tail_ct import (
         conv_hr_ct,
+        conv_hr_ct_diff,
         prepare_convxp_ct,
         prepare_upfold_ct,
         unphase_columns,
         upfold_ct,
+        upfold_ct_diff,
     )
 
     interp = jax.default_backend() == "cpu"
+    wdt = jnp.float32 if train else kdt
+    up_fn = upfold_ct_diff if train else upfold_ct
+    hr_fn = conv_hr_ct_diff if train else conv_hr_ct
     planes = [xt]                           # P=1 plane [nf, B·h·w]
     P, H, packed = 1, h, False
     for up in params["upconvs"]:
-        wd, bias = prepare_upfold_ct(up["w"], up["b"], P, dtype=kdt)
-        planes = upfold_ct(planes, wd, bias, C=cfg.nf, P=P, h=H, w=w,
-                           n_img=b, slope=cfg.act_slope, packed_in=packed,
-                           interpret=interp)
+        wd, bias = prepare_upfold_ct(up["w"], up["b"], P, dtype=wdt)
+        planes = up_fn(planes, wd, bias, C=cfg.nf, P=P, h=H, w=w,
+                       n_img=b, slope=cfg.act_slope, packed_in=packed,
+                       interpret=interp)
         P, H, packed = 2 * P, 2 * H, True   # y-phases stay row-packed
     wm0, b0 = prepare_convxp_ct(params["hr_conv0"]["w"],
-                                params["hr_conv0"]["b"], P, dtype=kdt)
+                                params["hr_conv0"]["b"], P, dtype=wdt)
     wm1, b1 = prepare_convxp_ct(params["hr_conv1"]["w"],
-                                params["hr_conv1"]["b"], P, dtype=kdt)
-    planes = conv_hr_ct(planes, wm0, b0, wm1, b1, C=cfg.nf, P=P,
-                        CO2=cfg.out_nc, h=H, w=w, n_img=b,
-                        slope=cfg.act_slope, packed_in=packed,
-                        interpret=interp)
+                                params["hr_conv1"]["b"], P, dtype=wdt)
+    planes = hr_fn(planes, wm0, b0, wm1, b1, C=cfg.nf, P=P,
+                   CO2=cfg.out_nc, h=H, w=w, n_img=b,
+                   slope=cfg.act_slope, packed_in=packed,
+                   interpret=interp)
     return unphase_columns(planes, b, H, w).astype(jnp.float32)
 
 
@@ -323,7 +333,7 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
     nESRGAN+ noise sites between kernel calls with the SAME key schedule and
     NHWC draw order as the XLA path, so switching paths never changes the
     noise realisation."""
-    from esrganplus_tpu.kernels.rdb_ct import (conv3x3_ct,
+    from esrganplus_tpu.kernels.rdb_ct import (conv3x3_ct, conv3x3_ct_diff,
                                                prepare_conv_ct_weights,
                                                prepare_rdb_ct_weights, rdb_ct,
                                                rdb_ct_diff)
@@ -454,11 +464,20 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
     if trunk_conv is not None:
         # fold the global-residual epilogue fea + conv3x3(trunk) into one
         # more kernel call while everything is still in the [C, M] layout
-        # (reference architecture.py:73: ShortcutBlock around trunk+LR_conv)
-        wm, bm = prepare_conv_ct_weights(trunk_conv["w"], trunk_conv.get("b"),
-                                         dtype=kdt)
-        out = conv3x3_ct(out, wm, bm, xt, cin=nf, cout=nf, h=h, w=w,
-                         n_img=b, interleave=il, interpret=interp)
+        # (reference architecture.py:73: ShortcutBlock around trunk+LR_conv);
+        # training takes the custom-VJP twin (master-f32 weights, f32 dW)
+        if train:
+            wm, bm = prepare_conv_ct_weights(trunk_conv["w"],
+                                             trunk_conv.get("b"),
+                                             dtype=jnp.float32)
+            out = conv3x3_ct_diff(out, wm, bm, xt, cin=nf, cout=nf, h=h,
+                                  w=w, n_img=b, interleave=il,
+                                  interpret=interp)
+        else:
+            wm, bm = prepare_conv_ct_weights(trunk_conv["w"],
+                                             trunk_conv.get("b"), dtype=kdt)
+            out = conv3x3_ct(out, wm, bm, xt, cin=nf, cout=nf, h=h, w=w,
+                             n_img=b, interleave=il, interpret=interp)
     if as_planes:
         return out                          # stay [nf, B·h·w] for _tail_pallas
     return out.reshape(nf, b, h, w).transpose(1, 2, 3, 0)
@@ -484,6 +503,19 @@ def rrdbnet_forward(params: Params, x: jnp.ndarray, cfg: RRDBNetConfig, *,
 
     if _use_pallas_trunk(cfg, train, dtype, x.shape[1], x.shape[2]):
         if train:
+            tail = _use_pallas_tail(cfg)
+            if tail:
+                # trunk_conv + global residual folded (custom-VJP conv), then
+                # the whole upsample tail — forward AND backward — stays in
+                # the plane layout (kernels/tail_ct.py diff pairs).
+                out_t = _trunk_pallas(params["trunk"], fea, cfg, dtype,
+                                      train=True, block_keys=block_keys,
+                                      trunk_conv=params["trunk_conv"],
+                                      as_planes=True)
+                kdt = dtype if dtype is not None else fea.dtype
+                b, h, w = x.shape[0], x.shape[1], x.shape[2]
+                return _tail_pallas(params, out_t, cfg, kdt, b, h, w,
+                                    train=True)
             trunk = _trunk_pallas(params["trunk"], fea, cfg, dtype,
                                   train=True, block_keys=block_keys)
             fea = fea + conv2d(trunk, params["trunk_conv"], dtype=dtype)

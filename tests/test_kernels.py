@@ -165,6 +165,39 @@ def test_conv3x3_ct_matches_xla():
         assert float(jnp.abs(untr(got, cout) - want).max()) < 1e-4, (use_res,)
 
 
+def test_conv3x3_ct_diff_grads_match_xla():
+    # custom-VJP generic conv (the training trunk-conv/global-residual fold):
+    # grads wrt raw HWIO weights, bias, input and residual vs XLA autodiff.
+    from esrganplus_tpu.kernels.rdb_ct import (conv3x3_ct_diff,
+                                               prepare_conv_ct_weights)
+    from esrganplus_tpu.models.layers import conv2d
+
+    cin, cout, B, H, W = 16, 8, 2, 6, 10
+    w = jax.random.normal(jax.random.PRNGKey(0), (3, 3, cin, cout)) * 0.1
+    b = jax.random.normal(jax.random.PRNGKey(5), (cout,)) * 0.1
+    x = jax.random.uniform(jax.random.PRNGKey(2), (B, H, W, cin), jnp.float32)
+    res = jax.random.uniform(jax.random.PRNGKey(3), (B, H, W, cout), jnp.float32)
+    tr = lambda a, c: a.transpose(3, 0, 1, 2).reshape(c, B * H * W)
+
+    def loss_p(w, b, x, res):
+        wm, bm = prepare_conv_ct_weights(w, b, dtype=jnp.float32)
+        out = conv3x3_ct_diff(tr(x, cin), wm, bm, tr(res, cout), cin=cin,
+                              cout=cout, h=H, w=W, n_img=B, interleave=2,
+                              interpret=True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_x(w, b, x, res):
+        return jnp.sum(jnp.sin(conv2d(x, {"w": w, "b": b}) + res))
+
+    vp, gp = jax.value_and_grad(loss_p, argnums=(0, 1, 2, 3))(w, b, x, res)
+    vx, gx = jax.value_and_grad(loss_x, argnums=(0, 1, 2, 3))(w, b, x, res)
+    assert abs(float(vp - vx)) / abs(float(vx)) < 1e-5
+    for name, a, bb in zip(("dw", "db", "dx", "dres"), gp, gx):
+        err = float(jnp.abs(a - bb).max())
+        scale = float(jnp.abs(bb).max()) + 1e-6
+        assert err / scale < 1e-4, (name, err, scale)
+
+
 def test_rdb_ct_diff_grads_match_xla():
     # column-merged custom-VJP pair: grads wrt the raw param dict and the
     # input must match the XLA reference graph (f32, interpret mode). The
