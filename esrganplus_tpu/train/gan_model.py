@@ -141,7 +141,8 @@ class GANTrainer:
                                                   train=train, dtype=self._dtype)
         return logits, new_state
 
-    def _g_loss(self, g_params, d_params, f_params, lr_img, hr_img, rng):
+    def _g_loss(self, g_params, d_params, f_params, lr_img, hr_img, rng,
+                d_real=None):
         cfg = self.cfg
         fake = generator_forward(g_params, lr_img, self.net_g, train=True, rng=rng,
                                  dtype=self._dtype).astype(jnp.float32)
@@ -162,7 +163,12 @@ class GANTrainer:
             logs["l_g_fea"] = l_fea
         d_fake, _ = self._d_logits(d_params, fake)
         if cfg.variant == "srragan":
-            d_real, _ = self._d_logits(d_params, hr_img)
+            # D(real) carries no gradient in the G phase (it is independent
+            # of g_params; the reference freezes D here) — its VALUE is
+            # hoisted out of the cond by _step so XLA's CSE can merge the
+            # forward with the D-phase primal instead of running it twice.
+            if d_real is None:
+                d_real, _ = self._d_logits(d_params, hr_img)
             l_gan = cfg.gan_weight * ragan_g_loss(d_real, d_fake, cfg.gan_type)
         else:
             l_gan = cfg.gan_weight * gan_loss(d_fake, True, cfg.gan_type)
@@ -206,11 +212,22 @@ class GANTrainer:
         do_g = jnp.logical_and(gstep % cfg.d_update_ratio == 0,
                                gstep > cfg.d_init_iters)
 
+        # RaGAN's G loss pairs against D(real) but takes no gradient through
+        # it. Hoisting the forward out of the cond makes it an identical
+        # subgraph to the D-phase primal (same d_params, same hr_img, same
+        # train-mode batch-stats math), which XLA's CSE dedupes — the G
+        # phase's own D(real) pass (1 of the step's 4 D forwards) disappears.
+        d_real_hoisted = None
+        if cfg.variant == "srragan":
+            d_real_hoisted = jax.lax.stop_gradient(
+                self._d_logits(state["d_params"], hr_img)[0])
+
         def g_update(operand):
             g_params, g_opt = operand
             (g_total, (fake, g_logs)), grads = jax.value_and_grad(
                 self._g_loss, has_aux=True)(g_params, state["d_params"], f_params,
-                                            lr_img, hr_img, rng_noise)
+                                            lr_img, hr_img, rng_noise,
+                                            d_real_hoisted)
             updates, new_g_opt = self.tx_g.update(grads, g_opt, g_params)
             updates = jax.tree.map(lambda u: -lr_g * u, updates)
             new_g_params = optax.apply_updates(g_params, updates)
