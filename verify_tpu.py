@@ -1,0 +1,194 @@
+"""On-chip validation artifact: run the real-TPU-only contracts and write one
+JSON line to TPUCHECK_r<N>.json.
+
+Round-3 verdict (weak #6): the hardware-RNG kernel contracts
+(tests/test_tpu_kernels.py) and the bf16-vs-fp32 inference agreement were
+validated only when the builder remembered to run them; nothing recorded that
+they ran in a given round. This script makes the on-chip validation a
+first-class artifact:
+
+  1. pytest tests/test_tpu_kernels.py with JAX_REAL_TPU=1 (in-kernel PRNG
+     noise contracts: bit replay, detach grads, N(0,1) stats);
+  2. bf16 Pallas path vs fp32 parity path through SRInferencer on a real
+     LR fixture — uint8 output agreement (round-3 measured: max 2 LSB,
+     mean 0.25 on butterfly);
+  3. training-path grad parity ON CHIP in bf16: the Pallas trunk + custom-VJP
+     tail vs the XLA graph (the CPU suite checks this in f32 interpret mode;
+     this leg pins the compiled bf16 kernels).
+
+Usage: python verify_tpu.py [--out TPUCHECK_r04.json]
+Prints the JSON result line to stdout; exit 0 iff every leg passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+
+def _watchdog(seconds: float = 240.0):
+    import threading
+
+    done = threading.Event()
+
+    def run():
+        if not done.wait(seconds):
+            print(json.dumps({"ok": False,
+                              "error": f"backend init exceeded {seconds}s "
+                                       "(tunnel unreachable?)"}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=run, daemon=True).start()
+    return done
+
+
+def leg_tpu_kernel_tests(result: dict) -> bool:
+    env = dict(os.environ, JAX_REAL_TPU="1")
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_tpu_kernels.py", "-q"],
+        env=env, capture_output=True, text=True, timeout=1800)
+    tail = (proc.stdout or "").strip().splitlines()
+    summary = tail[-1] if tail else ""
+    m = re.search(r"(\d+) passed", summary)
+    passed = int(m.group(1)) if m else 0
+    failed_m = re.search(r"(\d+) (?:failed|error)", summary)
+    failed = int(failed_m.group(1)) if failed_m else (0 if proc.returncode == 0 else -1)
+    result["tpu_kernel_tests"] = {"passed": passed, "failed": failed,
+                                  "summary": summary}
+    return proc.returncode == 0 and passed > 0
+
+
+def leg_bf16_vs_fp32(result: dict) -> bool:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from esrganplus_tpu.models import RRDBNetConfig, init_rrdbnet
+
+    cfg = RRDBNetConfig()
+    src = "random-init"
+    params = None
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+        import make_goldens
+
+        if make_goldens.ensure_flagship_golden():
+            from esrganplus_tpu.infer import load_generator
+
+            params, cfg, _ = load_generator(
+                os.path.join(make_goldens.CACHE, "rrdb_flagship.pth"))
+            src = "converted torch flagship fixture"
+    except Exception as e:  # reference unavailable: random weights still valid
+        result.setdefault("notes", []).append(f"flagship fixture: {e}")
+    if params is None:
+        import jax
+
+        params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
+
+    lr_png = "/root/reference/test_image/LR/butterfly.png"
+    if os.path.exists(lr_png):
+        from esrganplus_tpu.ops.image_io import read_img
+
+        img = read_img(lr_png)[:, :, ::-1]  # BGR->RGB float [0,1]
+        img_src = "butterfly.png"
+    else:
+        rng = np.random.RandomState(0)
+        img = rng.rand(48, 48, 3).astype(np.float32)
+        img_src = "synthetic"
+
+    from esrganplus_tpu.infer import SRInferencer
+
+    out32 = SRInferencer(params, cfg, dtype=None).upscale(img)
+    out16 = SRInferencer(params, cfg, dtype=jnp.bfloat16).upscale(img)
+    u32 = (np.clip(out32, 0, 1) * 255.0).round().astype(np.int32)
+    u16 = (np.clip(out16, 0, 1) * 255.0).round().astype(np.int32)
+    d = np.abs(u32 - u16)
+    leg = {"weights": src, "image": img_src,
+           "max_lsb": int(d.max()), "mean_lsb": round(float(d.mean()), 4)}
+    ok = d.max() <= 4 and float(d.mean()) <= 0.5
+    leg["ok"] = bool(ok)
+    result["bf16_vs_fp32"] = leg
+    return ok
+
+
+def leg_train_grads_bf16(result: dict) -> bool:
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from esrganplus_tpu.models import RRDBNetConfig, init_rrdbnet, rrdbnet_forward
+
+    cfg_p = RRDBNetConfig(nf=16, nb=2, gc=8, trunk_kernel="pallas",
+                          noise_sigma=0.1)
+    cfg_x = dataclasses.replace(cfg_p, trunk_kernel="xla", tail_kernel="xla",
+                                fused=False)
+    params = init_rrdbnet(jax.random.PRNGKey(0), cfg_p)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3), jnp.float32)
+    rng = jax.random.PRNGKey(3)
+
+    def loss(params, cfg):
+        out = rrdbnet_forward(params, x, cfg, train=True, rng=rng,
+                              dtype=jnp.bfloat16)
+        return jnp.mean(jnp.abs(out - 0.5))
+
+    vp, gp = jax.jit(jax.value_and_grad(loss), static_argnums=1)(params, cfg_p)
+    vx, gx = jax.jit(jax.value_and_grad(loss), static_argnums=1)(params, cfg_x)
+    worst = 0.0
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        err = float(jnp.abs(a - b).max())
+        scale = float(jnp.abs(b).max()) + 1e-6
+        worst = max(worst, err / scale)
+    # bf16 kernels vs bf16 XLA: different f32-accumulation groupings round
+    # differently; 5% relative on the worst leaf is the bf16-noise band.
+    leg = {"val_rel": abs(float(vp - vx)) / (abs(float(vx)) + 1e-9),
+           "worst_grad_rel": round(worst, 5)}
+    ok = leg["val_rel"] < 2e-2 and worst < 5e-2
+    leg["ok"] = bool(ok)
+    result["train_grads_bf16"] = leg
+    return ok
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="TPUCHECK_r04.json")
+    ap.add_argument("--skip-pytest", action="store_true",
+                    help="skip leg 1 (useful while iterating on legs 2/3)")
+    args = ap.parse_args(argv)
+
+    os.chdir(os.path.dirname(os.path.abspath(__file__)))
+    result = {"ts": time.strftime("%Y-%m-%d %H:%M:%S")}
+
+    from esrganplus_tpu.utils.misc import enable_compile_cache
+
+    enable_compile_cache()
+    done = _watchdog()
+    import jax
+
+    result["devices"] = str(jax.devices())
+    done.set()
+    if jax.default_backend() == "cpu":
+        result["ok"] = False
+        result["error"] = "no TPU backend available"
+        print(json.dumps(result), flush=True)
+        return 2
+
+    oks = []
+    if not args.skip_pytest:
+        oks.append(leg_tpu_kernel_tests(result))
+    oks.append(leg_bf16_vs_fp32(result))
+    oks.append(leg_train_grads_bf16(result))
+    result["ok"] = bool(all(oks))
+    line = json.dumps(result)
+    print(line, flush=True)
+    with open(args.out, "w") as f:
+        f.write(line + "\n")
+    return 0 if result["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
