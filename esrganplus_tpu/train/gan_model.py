@@ -144,12 +144,17 @@ class GANTrainer:
     def _g_loss(self, g_params, d_params, f_params, lr_img, hr_img, rng,
                 d_real=None):
         cfg = self.cfg
+        # fake stays in compute dtype: casting to f32 here would materialise a
+        # full-HR f32 tensor that every consumer (D, VGG) immediately casts
+        # back down — identical values (f32(bf16(x)) is exact), wasted HBM
+        # traffic. The losses upcast at their reductions.
         fake = generator_forward(g_params, lr_img, self.net_g, train=True, rng=rng,
-                                 dtype=self._dtype).astype(jnp.float32)
+                                 dtype=self._dtype)
         logs = {}
         total = 0.0
         if cfg.pixel_weight > 0:
-            l_pix = cfg.pixel_weight * pixel_loss(fake, hr_img, cfg.pixel_criterion)
+            l_pix = cfg.pixel_weight * pixel_loss(fake.astype(jnp.float32), hr_img,
+                                                  cfg.pixel_criterion)
             total += l_pix
             logs["l_g_pix"] = l_pix
         if self.use_feature:
@@ -237,7 +242,7 @@ class GANTrainer:
         def g_skip(operand):
             g_params, g_opt = operand
             fake = generator_forward(g_params, lr_img, self.net_g, train=True,
-                                     rng=rng_noise, dtype=self._dtype).astype(jnp.float32)
+                                     rng=rng_noise, dtype=self._dtype)
             zeros = {"l_g_pix": 0.0, "l_g_fea": 0.0, "l_g_gan": 0.0, "l_g_total": 0.0}
             if cfg.pixel_weight <= 0:
                 zeros.pop("l_g_pix")
@@ -246,8 +251,18 @@ class GANTrainer:
             zeros = {k: jnp.zeros(()) for k in zeros}
             return g_params, g_opt, fake, zeros
 
-        new_g_params, new_g_opt, fake, g_logs = jax.lax.cond(
-            do_g, g_update, g_skip, (state["g_params"], state["g_opt"]))
+        if cfg.d_update_ratio == 1 and cfg.d_init_iters == 0:
+            # The flagship recipe updates G every step (the gate above is
+            # constant-true), so skip the lax.cond: straight-line code lets
+            # XLA's CSE merge the G-phase D(fake) forward with the D-phase
+            # D(fake_detached) primal (identical params + input values),
+            # which a cond boundary would block. 2 of the step's 4 D
+            # forwards dedupe away (the other is the hoisted D(real)).
+            new_g_params, new_g_opt, fake, g_logs = g_update(
+                (state["g_params"], state["g_opt"]))
+        else:
+            new_g_params, new_g_opt, fake, g_logs = jax.lax.cond(
+                do_g, g_update, g_skip, (state["g_params"], state["g_opt"]))
 
         # ---- D update (every step; fake detached) ----
         fake_detached = jax.lax.stop_gradient(fake)
