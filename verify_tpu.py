@@ -10,8 +10,14 @@ first-class artifact:
   1. pytest tests/test_tpu_kernels.py with JAX_REAL_TPU=1 (in-kernel PRNG
      noise contracts: bit replay, detach grads, N(0,1) stats);
   2. bf16 Pallas path vs fp32 parity path through SRInferencer on a real
-     LR fixture — uint8 output agreement (round-3 measured: max 2 LSB,
-     mean 0.25 on butterfly);
+     LR fixture — uint8 output agreement. Thresholds are calibrated from the
+     measured round-4 decomposition on butterfly + flagship weights
+     (tools/probes/bf16_lsb.py): f32-XLA vs bf16-XLA is itself max 7 LSB /
+     mean 0.17 (pure dtype noise; 0.2% of pixels ≥4), and the bf16 Pallas
+     path lands INSIDE that band (max 7, mean 0.163, closer to f32 than
+     XLA-bf16 is). Gate: max ≤ 10, mean ≤ 0.5 — kernel breakage shows up
+     orders of magnitude above this (and is separately pinned by leg 3 and
+     the CPU interpret-mode parity suite);
   3. training-path grad parity ON CHIP in bf16: the Pallas trunk + custom-VJP
      tail vs the XLA graph (the CPU suite checks this in f32 interpret mode;
      this leg pins the compiled bf16 kernels).
@@ -108,8 +114,10 @@ def leg_bf16_vs_fp32(result: dict) -> bool:
     u16 = (np.clip(out16, 0, 1) * 255.0).round().astype(np.int32)
     d = np.abs(u32 - u16)
     leg = {"weights": src, "image": img_src,
-           "max_lsb": int(d.max()), "mean_lsb": round(float(d.mean()), 4)}
-    ok = d.max() <= 4 and float(d.mean()) <= 0.5
+           "max_lsb": int(d.max()), "mean_lsb": round(float(d.mean()), 4),
+           "frac_ge4": round(float((d >= 4).mean()), 5)}
+    # measured bf16 dtype-noise band (see module docstring): max 7 / mean 0.17
+    ok = d.max() <= 10 and float(d.mean()) <= 0.5
     leg["ok"] = bool(ok)
     result["bf16_vs_fp32"] = leg
     return ok
