@@ -20,7 +20,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from esrganplus_tpu.models.layers import Params, batchnorm, batchnorm_init, conv2d, kaiming_conv_init
+from esrganplus_tpu.models.layers import (
+    Params,
+    batchnorm,
+    batchnorm_init,
+    conv2d,
+    kaiming_conv_init,
+    maxpool_2x2,
+)
 
 # Channels per VGG-19 conv, 'M' = 2×2 maxpool. (Standard VGG-E configuration.)
 VGG19_LAYOUT: Tuple = (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
@@ -123,6 +130,5 @@ def vgg_feat_forward(params: Params, x: jnp.ndarray, cfg: VGGFeatConfig = VGGFea
         elif entry[0] == "relu":
             h = jax.nn.relu(h)
         else:  # 2×2 max pool, stride 2 (torch default: floor mode)
-            h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
-                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+            h = maxpool_2x2(h)
     return h
