@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from esrganplus_tpu.models.layers import Params, batchnorm, conv2d, kaiming_conv_init, maxpool_2x2
+from esrganplus_tpu.models.layers import Params, batchnorm, conv2d, kaiming_conv_init
 
 _IMAGENET_MEAN = (0.485, 0.456, 0.406)
 _IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -44,7 +44,7 @@ _MINC_PLAN = [  # (name, cin, cout) per stage; 'M' = 2×2 ceil maxpool
 def _maxpool2_ceil(x: jnp.ndarray) -> jnp.ndarray:
     h, w = x.shape[1], x.shape[2]
     x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)), constant_values=-jnp.inf)
-    return maxpool_2x2(x)  # custom-VJP pool (layers.py); pad taps never win
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
 
 
 def init_minc(key, dtype=jnp.float32) -> Params:

@@ -145,59 +145,6 @@ def act(x: jnp.ndarray, kind: Optional[str], slope: float = 0.2) -> jnp.ndarray:
     raise NotImplementedError(f"activation [{kind}]")
 
 
-@jax.custom_vjp
-def maxpool_2x2(x: jnp.ndarray) -> jnp.ndarray:
-    """2×2 stride-2 max pool, NHWC, floor mode (odd trailing row/col dropped).
-
-    Equivalent to ``lax.reduce_window(max)`` but with a hand-written adjoint:
-    XLA differentiates reduce_window into select-and-scatter, which measured
-    0.37 ms/step on the VGG perceptual-loss path (round-4 trace, batch 16).
-    With non-overlapping windows the adjoint is just a masked depth-to-space,
-    so the backward is pure elementwise work. Gradient routing matches both
-    select-and-scatter and torch's MaxPool2d: the FIRST maximum in row-major
-    window order takes the ties (tested bit-identical vs the XLA autodiff).
-    """
-    a, b, c, d = _pool_quads(x)
-    return jnp.maximum(jnp.maximum(a, b), jnp.maximum(c, d))
-
-
-def _pool_quads(x):
-    """The four window taps as strided views: (0,0), (0,1), (1,0), (1,1)."""
-    bsz, h, w, ch = x.shape
-    x = x[:, : h // 2 * 2, : w // 2 * 2, :]
-    x5 = x.reshape(bsz, h // 2, 2, w // 2, 2, ch)
-    return x5[:, :, 0, :, 0], x5[:, :, 0, :, 1], x5[:, :, 1, :, 0], x5[:, :, 1, :, 1]
-
-
-def _maxpool_2x2_fwd(x):
-    y = maxpool_2x2(x)
-    return y, (x, y)
-
-
-def _maxpool_2x2_bwd(res, g):
-    x, y = res
-    a, b, c, d = _pool_quads(x)
-    zero = jnp.zeros_like(g)
-    # first maximum in row-major window order wins the tie
-    ma = a == y
-    mb = jnp.logical_and(b == y, ~ma)
-    mc = jnp.logical_and(c == y, ~jnp.logical_or(ma, mb))
-    md = ~jnp.logical_or(jnp.logical_or(ma, mb), mc)
-    quads = [jnp.where(m, g, zero) for m in (ma, mb, mc, md)]
-    bsz, hh, ww, ch = g.shape
-    dx = jnp.stack(
-        [jnp.stack(quads[:2], axis=3), jnp.stack(quads[2:], axis=3)], axis=2
-    ).reshape(bsz, 2 * hh, 2 * ww, ch)
-    full = x.shape
-    if full[1] != 2 * hh or full[2] != 2 * ww:  # floor mode dropped a row/col
-        dx = jnp.pad(dx, ((0, 0), (0, full[1] - 2 * hh),
-                          (0, full[2] - 2 * ww), (0, 0)))
-    return (dx,)
-
-
-maxpool_2x2.defvjp(_maxpool_2x2_fwd, _maxpool_2x2_bwd)
-
-
 def batchnorm(x: jnp.ndarray, p: Params, train: bool, momentum: float = 0.9, eps: float = 1e-5):
     """BatchNorm over NHW; returns (y, updated_stats). Torch-compatible semantics:
     batch statistics in train mode (biased var for normalisation, unbiased for the

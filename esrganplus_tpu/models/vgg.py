@@ -20,14 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from esrganplus_tpu.models.layers import (
-    Params,
-    batchnorm,
-    batchnorm_init,
-    conv2d,
-    kaiming_conv_init,
-    maxpool_2x2,
-)
+from esrganplus_tpu.models.layers import Params, batchnorm, batchnorm_init, conv2d, kaiming_conv_init
 
 # Channels per VGG-19 conv, 'M' = 2×2 maxpool. (Standard VGG-E configuration.)
 VGG19_LAYOUT: Tuple = (64, 64, "M", 128, 128, "M", 256, 256, 256, 256, "M",
@@ -130,5 +123,6 @@ def vgg_feat_forward(params: Params, x: jnp.ndarray, cfg: VGGFeatConfig = VGGFea
         elif entry[0] == "relu":
             h = jax.nn.relu(h)
         else:  # 2×2 max pool, stride 2 (torch default: floor mode)
-            h = maxpool_2x2(h)
+            h = jax.lax.reduce_window(h, -jnp.inf, jax.lax.max,
+                                      (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
     return h

@@ -282,45 +282,3 @@ def test_minibatch_std_concat_modes():
     assert minibatch_std_concat(x, "gpool").shape == (4, 6, 5, 16)
     with pytest.raises(NotImplementedError):
         minibatch_std_concat(x, "flat")
-
-
-# ---------------------------------------------------------------------------
-# maxpool_2x2 custom VJP (layers.py): must be bit-identical to XLA's
-# reduce_window autodiff (select-and-scatter routes ties to the FIRST max in
-# row-major window order, same as torch MaxPool2d).
-# ---------------------------------------------------------------------------
-
-
-def _pool_ref(x):
-    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
-                                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
-
-
-@pytest.mark.parametrize("shape", [(2, 8, 8, 3), (1, 7, 9, 4)])
-def test_maxpool_2x2_matches_reduce_window(shape):
-    from esrganplus_tpu.models.layers import maxpool_2x2
-
-    x = jax.random.normal(jax.random.PRNGKey(0), shape)
-    np.testing.assert_array_equal(np.asarray(maxpool_2x2(x)),
-                                  np.asarray(_pool_ref(x)))
-
-    def loss(pool, x):
-        return jnp.sum(pool(x) * jnp.cos(jnp.arange(pool(x).size).reshape(pool(x).shape)))
-
-    g_ours = jax.grad(lambda x: loss(maxpool_2x2, x))(x)
-    g_ref = jax.grad(lambda x: loss(_pool_ref, x))(x)
-    np.testing.assert_array_equal(np.asarray(g_ours), np.asarray(g_ref))
-
-
-def test_maxpool_2x2_tie_routing_matches():
-    from esrganplus_tpu.models.layers import maxpool_2x2
-
-    # engineered ties: quantised values make equal maxima common within
-    # windows (incl. post-relu-style all-zero windows)
-    x = jnp.round(jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 2)) * 1.5)
-    x = jnp.maximum(x, 0.0)
-    assert int(jnp.sum(x == 0)) > 16  # the tie case is actually exercised
-
-    g_ours = jax.grad(lambda x: jnp.sum(maxpool_2x2(x) * 3.0))(x)
-    g_ref = jax.grad(lambda x: jnp.sum(_pool_ref(x) * 3.0))(x)
-    np.testing.assert_array_equal(np.asarray(g_ours), np.asarray(g_ref))
