@@ -165,6 +165,12 @@ def run_bench(args):
 
     cfg = RRDBNetConfig()
     params = init_rrdbnet(jax.random.PRNGKey(0), cfg)
+    from esrganplus_tpu.models.rrdb import prep_trunk_ct, prep_trunk_static
+
+    if prep_trunk_static(cfg, jnp.bfloat16):
+        # kernel-layout trunk masters: the in-jit canonical->kernel weight
+        # relayout (~0.7 ms/fwd) happens once here instead of every forward
+        params = prep_trunk_ct(params, cfg)
 
     batch, lr_size, iters = args.batch, 128, 6
     x = jax.random.uniform(jax.random.PRNGKey(1), (batch, lr_size, lr_size, 3), jnp.float32)

@@ -20,11 +20,15 @@ import time
 import numpy as np
 
 
-def _export_networks(models_dir, tag, model_kind, state, net_g, net_d):
+def _export_networks(models_dir, tag, model_kind, state, net_g, net_d,
+                     trainer=None):
     from esrganplus_tpu.train.checkpoint import save_networks_pth
 
+    # prepared-trunk trainers keep G masters in the kernel layout; .pth
+    # exports are always canonical (models/rrdb.py unprep_trunk_ct)
+    to_canon = getattr(trainer, "canonical_params", lambda p: p)
     if model_kind == "sr":
-        save_networks_pth(models_dir, tag, state["params"], net_g)
+        save_networks_pth(models_dir, tag, to_canon(state["params"]), net_g)
     elif model_kind == "sftgan":
         import torch
 
@@ -35,7 +39,7 @@ def _export_networks(models_dir, tag, model_kind, state, net_g, net_d):
         torch.save({k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()},
                    os.path.join(models_dir, f"{tag}_G.pth"))
     else:
-        save_networks_pth(models_dir, tag, state["g_params"], net_g,
+        save_networks_pth(models_dir, tag, to_canon(state["g_params"]), net_g,
                           state["d_params"], net_d)
 
 
@@ -166,6 +170,7 @@ def main(argv=None):
         from esrganplus_tpu.parallel import replicated
 
         params, _, _ = generator_from_state_dict(load_state_dict(opt["path"]["pretrain_model_G"]), net_g)
+        params = getattr(trainer, "ingest_params", lambda p: p)(params)
         state[g_key] = jax.device_put(params, replicated(mesh))
         logger.info(f"loaded pretrained G from {opt['path']['pretrain_model_G']}")
     start_step = 0
@@ -325,7 +330,8 @@ def main(argv=None):
             tag = step + 1
             save_state(os.path.join(opt["path"]["training_state"], f"{tag}{STATE_SUFFIX}"),
                        state)
-            _export_networks(opt["path"]["models"], tag, model_kind, state, net_g, net_d)
+            _export_networks(opt["path"]["models"], tag, model_kind, state, net_g, net_d,
+                             trainer=trainer)
         step += 1
 
     if prof_active:
@@ -336,7 +342,8 @@ def main(argv=None):
         logger.info(f"profiler trace written to {args.profile} (run ended "
                     f"inside the profile window)")
     logger.info("Saving the final model.")
-    _export_networks(opt["path"]["models"], "latest", model_kind, state, net_g, net_d)
+    _export_networks(opt["path"]["models"], "latest", model_kind, state, net_g, net_d,
+                     trainer=trainer)
     logger.info("End of training.")
     if hasattr(train_loader, "stop"):
         train_loader.stop()

@@ -124,6 +124,13 @@ class SRInferencer:
         with a DETERMINISTIC key (the Tarsier workflow evolves/selects such noise
         realisations per image; reference README.md:6, arXiv:2009.12177). None =
         standard deterministic inference."""
+        from esrganplus_tpu.models.rrdb import prep_trunk_ct, prep_trunk_static
+
+        if isinstance(params, dict) and "trunk_ct" not in params \
+                and prep_trunk_static(cfg, dtype):
+            # keep the trunk weights in the kernel layout once, instead of
+            # re-deriving them inside every jitted forward (models/rrdb.py)
+            params = prep_trunk_ct(params, cfg)
         self.params = params
         self.cfg = cfg
         self.dtype = dtype

@@ -21,6 +21,7 @@ noise sites configurable per-RDB (both reference variants) and per-RRDB
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Optional
 
@@ -278,6 +279,143 @@ def _use_pallas_tail(cfg: RRDBNetConfig) -> bool:
     return cfg.upscale in (2, 4) and cfg.act_type == "leakyrelu"
 
 
+# ---------------------------------------------------------------------------
+# prepared-trunk master format ("trunk_ct")
+# ---------------------------------------------------------------------------
+#
+# Training through the Pallas trunk re-derives the kernel-layout weight
+# matrices from the canonical HWIO pytree EVERY step (slice/transpose/concat
+# per conv, traced into the jit), and autodiff pays the transposed chain again
+# to map dW back — ~0.7-1.0 ms/step of pure relayout at flagship shape
+# (round-4 trace: rdb_ct.py:77-78 plus the dW un-prepare copies). Trainers can
+# instead keep the f32 MASTERS in the kernel layout: `prep_trunk_ct` replaces
+# the "trunk"/"trunk_conv" subtrees with the prepared matrices, the forward
+# consumes them directly, Adam updates them elementwise (a permutation of the
+# canonical update), and `unprep_trunk_ct` restores the canonical pytree at
+# checkpoint-export/eval-fallback boundaries. The only asymmetry: the stage-2
+# matrix embeds structural zeros (the 1×1-shortcut rows are only live on x's
+# center-tap columns), whose kernel dW is NOT zero — `mask_trunk_ct_grads`
+# zeroes them so the masked prepared update stays exactly the canonical one.
+
+
+def prep_trunk_ct(params: Params, cfg: RRDBNetConfig) -> Params:
+    """Canonical RRDBNet params → prepared-master params (trunk in the
+    kernel's column-merged layout; see module comment above)."""
+    from esrganplus_tpu.kernels.rdb_ct import (prepare_conv_ct_weights,
+                                               prepare_rdb_ct_weights)
+
+    if "trunk_ct" in params:
+        return params
+
+    def prep(rdb_p):
+        return prepare_rdb_ct_weights(rdb_p, cfg.nf, cfg.gc, cfg.conv1x1,
+                                      dtype=jnp.float32)
+
+    trunk_ct: Params = {k: jax.vmap(prep)(params["trunk"][k])
+                        for k in ("rdb1", "rdb2", "rdb3")}
+    wm, bm = prepare_conv_ct_weights(params["trunk_conv"]["w"],
+                                     params["trunk_conv"].get("b"),
+                                     dtype=jnp.float32)
+    trunk_ct["lr_conv"] = {"w": wm} if bm is None else {"w": wm, "b": bm}
+    out = {k: v for k, v in params.items() if k not in ("trunk", "trunk_conv")}
+    out["trunk_ct"] = trunk_ct
+    return out
+
+
+def _unprep_rdb_ct(mats, cfg: RRDBNetConfig) -> Params:
+    """Exact inverse of ``prepare_rdb_ct_weights`` for one (unstacked) RDB."""
+    nf, gc = cfg.nf, cfg.gc
+    w1, w2, w3, w4, w5, bias = mats
+    bias = bias.reshape(-1).astype(jnp.float32)
+    sizes = {5: nf, 4: gc, 3: gc, 2: gc, 1: gc}   # packed (b5|b4|b3|b2|b1)
+    biases, off = {}, 0
+    for k in (5, 4, 3, 2, 1):
+        biases[k] = bias[off:off + sizes[k]]
+        off += sizes[k]
+    rdb: Params = {}
+    for k, m in ((1, w1), (2, w2), (3, w3), (4, w4), (5, w5)):
+        s = nf if k == 5 else gc
+        if k == 2:
+            extra, m = m[3 * s:], m[:3 * s]
+            if cfg.conv1x1:
+                rdb["conv1x1"] = {
+                    "w": extra[:, nf:2 * nf].T.reshape(1, 1, nf, gc)
+                           .astype(jnp.float32)}
+        srcs = [nf] + [gc] * (k - 1)
+        blocks, coff = [], 0
+        for c in srcs:
+            blk = m[:, coff:coff + 3 * c].reshape(3, s, 3, c)
+            blocks.append(blk.transpose(2, 0, 3, 1))        # [r, s, c, S]
+            coff += 3 * c
+        rdb[f"conv{k}"] = {"w": jnp.concatenate(blocks, axis=2).astype(jnp.float32),
+                           "b": biases[k]}
+    return rdb
+
+
+def unprep_trunk_ct(params: Params, cfg: RRDBNetConfig) -> Params:
+    """Prepared-master params → canonical pytree (inverse of prep_trunk_ct)."""
+    if "trunk_ct" not in params:
+        return params
+    ct = params["trunk_ct"]
+    trunk = {k: jax.vmap(lambda m: _unprep_rdb_ct(m, cfg))(ct[k])
+             for k in ("rdb1", "rdb2", "rdb3")}
+    wm = ct["lr_conv"]["w"]                     # [3·nf, 3·nf]
+    w = wm.reshape(3, cfg.nf, 3, cfg.nf).transpose(2, 0, 3, 1).astype(jnp.float32)
+    trunk_conv: Params = {"w": w}
+    if "b" in ct["lr_conv"]:
+        trunk_conv["b"] = ct["lr_conv"]["b"].reshape(-1).astype(jnp.float32)
+    out = {k: v for k, v in params.items() if k != "trunk_ct"}
+    out["trunk"] = trunk
+    out["trunk_conv"] = trunk_conv
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _trunk_ct_w2_mask(nf: int, gc: int, conv1x1: bool):
+    """Support mask for the stage-2 prepared matrix's 1×1-shortcut rows.
+
+    Returns a HOST numpy array: a jnp constant here would be memoised across
+    traces and leak the first trace's tracer into later jits."""
+    import numpy as np
+
+    mask = np.ones((3 * gc + gc, 3 * (nf + gc)), np.float32)
+    mask[3 * gc:] = 0.0
+    if conv1x1:
+        mask[3 * gc:, nf:2 * nf] = 1.0          # x's center-tap columns
+    return mask
+
+
+def mask_trunk_ct_grads(grads: Params, cfg: RRDBNetConfig) -> Params:
+    """Zero the structurally-dead entries of prepared-trunk gradients (the
+    kernel's dW is dense over the stage-2 shortcut rows; canonical autodiff
+    only ever sees their live center-tap block)."""
+    if "trunk_ct" not in grads:
+        return grads
+    mask = _trunk_ct_w2_mask(cfg.nf, cfg.gc, cfg.conv1x1)
+    ct = dict(grads["trunk_ct"])
+    for k in ("rdb1", "rdb2", "rdb3"):
+        mats = list(ct[k])
+        mats[1] = mats[1] * mask                # w2, broadcast over nb
+        ct[k] = tuple(mats)
+    out = {kk: vv for kk, vv in grads.items() if kk != "trunk_ct"}
+    out["trunk_ct"] = ct
+    return out
+
+
+def prep_trunk_static(cfg, dtype) -> bool:
+    """Shape-independent half of the prepared-trunk gate: True iff every
+    train/eval forward at supported sizes will take the Pallas trunk AND the
+    Pallas tail (the plane path end-to-end). Oversized inputs still work via
+    the unprep fallback in ``rrdbnet_forward``."""
+    if not isinstance(cfg, RRDBNetConfig):
+        return False
+    if cfg.trunk_kernel == "xla" or not _use_pallas_tail(cfg):
+        return False
+    if cfg.trunk_kernel == "pallas":
+        return True
+    return dtype == jnp.bfloat16 and jax.default_backend() != "cpu"
+
+
 def _tail_pallas(params: Params, xt: jnp.ndarray, cfg: RRDBNetConfig, kdt,
                  b: int, h: int, w: int, train: bool = False) -> jnp.ndarray:
     """[nf, B·h·w] trunk output → NHWC f32 SR image via the column-phase
@@ -322,10 +460,11 @@ def _tail_pallas(params: Params, xt: jnp.ndarray, cfg: RRDBNetConfig, kdt,
     return unphase_columns(planes, b, H, w).astype(jnp.float32)
 
 
-def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
-                  dtype, *, train: bool = False,
+def _trunk_pallas(trunk_params: Optional[Params], fea: jnp.ndarray,
+                  cfg: RRDBNetConfig, dtype, *, train: bool = False,
                   block_keys=None, trunk_conv: Optional[Params] = None,
-                  as_planes: bool = False) -> jnp.ndarray:
+                  as_planes: bool = False,
+                  prepped: Optional[Params] = None) -> jnp.ndarray:
     """Run the nb-RRDB trunk through the fused transposed RDB kernel.
 
     Training uses the custom-VJP variant (weights crossing the boundary in
@@ -343,11 +482,22 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
     kdt = dtype if dtype is not None else fea.dtype
     wdt = jnp.float32 if train else kdt
 
-    def prep(rdb_p):
-        return prepare_rdb_ct_weights(rdb_p, cfg.nf, cfg.gc, cfg.conv1x1,
-                                      dtype=wdt)
+    if prepped is not None:
+        # masters already live in the kernel layout (prep_trunk_ct): f32 for
+        # training (the diff kernels cast at the boundary), one contiguous
+        # cast per matrix for inference — no per-step slice/transpose/concat
+        def to_wdt(mats):
+            *w, bias = mats
+            return tuple([a if a.dtype == wdt else a.astype(wdt) for a in w]
+                         + [bias])
 
-    ws = {k: jax.vmap(prep)(trunk_params[k]) for k in ("rdb1", "rdb2", "rdb3")}
+        ws = {k: to_wdt(prepped[k]) for k in ("rdb1", "rdb2", "rdb3")}
+    else:
+        def prep(rdb_p):
+            return prepare_rdb_ct_weights(rdb_p, cfg.nf, cfg.gc, cfg.conv1x1,
+                                          dtype=wdt)
+
+        ws = {k: jax.vmap(prep)(trunk_params[k]) for k in ("rdb1", "rdb2", "rdb3")}
     # image-major lane packing [nf, B·H·W] — the kernel groups as many images
     # per grid step as VMEM allows (whole batch at training crop sizes)
     xt = fea.astype(kdt).transpose(3, 0, 1, 2).reshape(nf, b * h * w)
@@ -461,23 +611,23 @@ def _trunk_pallas(trunk_params: Params, fea: jnp.ndarray, cfg: RRDBNetConfig,
     else:
         out, _ = jax.lax.scan(body, xt, (ws, block_keys),
                               unroll=max(1, cfg.unroll))
-    if trunk_conv is not None:
+    lrc = None
+    if prepped is not None:
+        wm = prepped["lr_conv"]["w"]
+        lrc = (wm if wm.dtype == wdt else wm.astype(wdt),
+               prepped["lr_conv"].get("b"))
+    elif trunk_conv is not None:
+        lrc = prepare_conv_ct_weights(trunk_conv["w"], trunk_conv.get("b"),
+                                      dtype=wdt)
+    if lrc is not None:
         # fold the global-residual epilogue fea + conv3x3(trunk) into one
         # more kernel call while everything is still in the [C, M] layout
         # (reference architecture.py:73: ShortcutBlock around trunk+LR_conv);
         # training takes the custom-VJP twin (master-f32 weights, f32 dW)
-        if train:
-            wm, bm = prepare_conv_ct_weights(trunk_conv["w"],
-                                             trunk_conv.get("b"),
-                                             dtype=jnp.float32)
-            out = conv3x3_ct_diff(out, wm, bm, xt, cin=nf, cout=nf, h=h,
-                                  w=w, n_img=b, interleave=il,
-                                  interpret=interp)
-        else:
-            wm, bm = prepare_conv_ct_weights(trunk_conv["w"],
-                                             trunk_conv.get("b"), dtype=kdt)
-            out = conv3x3_ct(out, wm, bm, xt, cin=nf, cout=nf, h=h, w=w,
-                             n_img=b, interleave=il, interpret=interp)
+        wm, bm = lrc
+        conv_fn = conv3x3_ct_diff if train else conv3x3_ct
+        out = conv_fn(out, wm, bm, xt, cin=nf, cout=nf, h=h, w=w,
+                      n_img=b, interleave=il, interpret=interp)
     if as_planes:
         return out                          # stay [nf, B·h·w] for _tail_pallas
     return out.reshape(nf, b, h, w).transpose(1, 2, 3, 0)
@@ -499,33 +649,48 @@ def rrdbnet_forward(params: Params, x: jnp.ndarray, cfg: RRDBNetConfig, *,
         rng = jax.random.PRNGKey(0)
     block_keys = jax.random.split(rng, cfg.nb)
 
+    use_pallas = _use_pallas_trunk(cfg, train, dtype, x.shape[1], x.shape[2])
+    prepped = params.get("trunk_ct")
+    if prepped is not None and not use_pallas:
+        # prepared masters but an input too large for the kernel's VMEM gate
+        # (or an explicit xla override): reconstruct the canonical trunk
+        # in-graph and take the XLA path — correct, just off the fast path.
+        params = unprep_trunk_ct(params, cfg)
+        prepped = None
+
     fea = conv2d(x, params["fea_conv"], dtype=dtype)
 
-    if _use_pallas_trunk(cfg, train, dtype, x.shape[1], x.shape[2]):
+    if use_pallas:
+        trunk_p = None if prepped is not None else params["trunk"]
+        lr_conv = None if prepped is not None else params["trunk_conv"]
         if train:
             tail = _use_pallas_tail(cfg)
             if tail:
                 # trunk_conv + global residual folded (custom-VJP conv), then
                 # the whole upsample tail — forward AND backward — stays in
                 # the plane layout (kernels/tail_ct.py diff pairs).
-                out_t = _trunk_pallas(params["trunk"], fea, cfg, dtype,
+                out_t = _trunk_pallas(trunk_p, fea, cfg, dtype,
                                       train=True, block_keys=block_keys,
-                                      trunk_conv=params["trunk_conv"],
-                                      as_planes=True)
+                                      trunk_conv=lr_conv,
+                                      as_planes=True, prepped=prepped)
                 kdt = dtype if dtype is not None else fea.dtype
                 b, h, w = x.shape[0], x.shape[1], x.shape[2]
                 return _tail_pallas(params, out_t, cfg, kdt, b, h, w,
                                     train=True)
+            if prepped is not None:
+                raise ValueError(
+                    "prepared-trunk params require the Pallas tail for "
+                    "training (prep_trunk_static gates on it)")
             trunk = _trunk_pallas(params["trunk"], fea, cfg, dtype,
                                   train=True, block_keys=block_keys)
             fea = fea + conv2d(trunk, params["trunk_conv"], dtype=dtype)
         else:
             # trunk_conv + global residual folded into the kernel path
             tail = _use_pallas_tail(cfg)
-            out_t = _trunk_pallas(params["trunk"], fea, cfg, dtype,
+            out_t = _trunk_pallas(trunk_p, fea, cfg, dtype,
                                   train=False, block_keys=block_keys,
-                                  trunk_conv=params["trunk_conv"],
-                                  as_planes=tail)
+                                  trunk_conv=lr_conv,
+                                  as_planes=tail, prepped=prepped)
             if tail:
                 kdt = dtype if dtype is not None else fea.dtype
                 b, h, w = x.shape[0], x.shape[1], x.shape[2]

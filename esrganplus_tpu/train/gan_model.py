@@ -70,6 +70,8 @@ class GANTrainConfig:
     # noise-site PRNG: 'rbg' (hardware RngBitGenerator, default) |
     # 'threefry' (bitwise-reproducible replay — see train/rng.py)
     noise_prng: str = "rbg"
+    # prepared-trunk G masters (see SRTrainConfig.prep_trunk); None = auto
+    prep_trunk: Optional[bool] = None
     init_scale_g: float = 0.1
     init_scale_d: float = 1.0
 
@@ -86,6 +88,10 @@ class GANTrainer:
         self.vgg_cfg = vgg_cfg
         self.mesh = mesh if mesh is not None else make_mesh()
         self._dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        from esrganplus_tpu.models.rrdb import prep_trunk_static
+
+        self._prep_trunk = (cfg.prep_trunk if cfg.prep_trunk is not None
+                            else prep_trunk_static(net_g, self._dtype))
 
         # lr schedules are driven off the GLOBAL step inside _step (reference
         # steps every scheduler each iteration, base_model.py:35-40) — NOT off
@@ -121,7 +127,8 @@ class GANTrainer:
 
     def init_state(self, rng) -> dict:
         kg, kd = jax.random.split(rng)
-        g_params = generator_init(kg, self.net_g, init_scale=self.cfg.init_scale_g)
+        g_params = self.ingest_params(
+            generator_init(kg, self.net_g, init_scale=self.cfg.init_scale_g))
         d_params = init_discriminator(kd, self.net_d, init_scale=self.cfg.init_scale_d)
         state = {
             "g_params": g_params,
@@ -133,6 +140,23 @@ class GANTrainer:
         if self.use_feature:
             state["f_params"] = self.f_params
         return jax.device_put(state, replicated(self.mesh))
+
+    def ingest_params(self, params):
+        """Canonical G params → the trainer's state representation (prepared
+        trunk masters when the Pallas fast path is active)."""
+        if self._prep_trunk and "trunk_ct" not in params:
+            from esrganplus_tpu.models.rrdb import prep_trunk_ct
+
+            return prep_trunk_ct(params, self.net_g)
+        return params
+
+    def canonical_params(self, params):
+        """State G params → canonical pytree (checkpoint .pth export)."""
+        if isinstance(params, dict) and "trunk_ct" in params:
+            from esrganplus_tpu.models.rrdb import unprep_trunk_ct
+
+            return unprep_trunk_ct(params, self.net_g)
+        return params
 
     # -- loss pieces -------------------------------------------------------
 
@@ -233,6 +257,10 @@ class GANTrainer:
                 self._g_loss, has_aux=True)(g_params, state["d_params"], f_params,
                                             lr_img, hr_img, rng_noise,
                                             d_real_hoisted)
+            if self._prep_trunk:
+                from esrganplus_tpu.models.rrdb import mask_trunk_ct_grads
+
+                grads = mask_trunk_ct_grads(grads, self.net_g)
             updates, new_g_opt = self.tx_g.update(grads, g_opt, g_params)
             updates = jax.tree.map(lambda u: -lr_g * u, updates)
             new_g_params = optax.apply_updates(g_params, updates)

@@ -41,6 +41,12 @@ class SRTrainConfig:
     # draws cost ~5 ms of the 28 ms step through threefry) | 'threefry'
     # (bitwise-reproducible replay; see train/rng.py)
     noise_prng: str = "rbg"
+    # keep the RRDB-trunk masters in the Pallas kernel layout (the per-step
+    # canonical→kernel weight relayout measured ~0.7-1 ms at flagship shape;
+    # models/rrdb.py prep_trunk_ct). None = auto: on whenever every step
+    # takes the Pallas trunk+tail path. Checkpoint .pth exports and the
+    # state.npz template both follow the active representation.
+    prep_trunk: Optional[bool] = None
 
 
 def pixel_loss(pred, target, criterion: str):
@@ -83,6 +89,10 @@ class SRTrainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.tx, self.lr_schedule = make_optimizer(train_cfg)
         self._dtype = jnp.bfloat16 if train_cfg.compute_dtype == "bfloat16" else None
+        from esrganplus_tpu.models.rrdb import prep_trunk_static
+
+        self._prep_trunk = (train_cfg.prep_trunk if train_cfg.prep_trunk is not None
+                            else prep_trunk_static(net_cfg, self._dtype))
 
         self._resident_jits = {}
         rep = replicated(self.mesh)
@@ -104,13 +114,31 @@ class SRTrainer:
     # -- state -------------------------------------------------------------
 
     def init_state(self, rng) -> dict:
-        params = generator_init(rng, self.net_cfg, init_scale=self.train_cfg.init_scale)
+        params = self.ingest_params(
+            generator_init(rng, self.net_cfg, init_scale=self.train_cfg.init_scale))
         state = {
             "params": params,
             "opt_state": self.tx.init(params),
             "step": jnp.zeros((), jnp.int32),
         }
         return jax.device_put(state, replicated(self.mesh))
+
+    def ingest_params(self, params):
+        """Canonical generator params → the trainer's state representation
+        (prepared-trunk masters when the Pallas fast path is active)."""
+        if self._prep_trunk and "trunk_ct" not in params:
+            from esrganplus_tpu.models.rrdb import prep_trunk_ct
+
+            return prep_trunk_ct(params, self.net_cfg)
+        return params
+
+    def canonical_params(self, params):
+        """State representation → canonical pytree (checkpoint .pth export)."""
+        if isinstance(params, dict) and "trunk_ct" in params:
+            from esrganplus_tpu.models.rrdb import unprep_trunk_ct
+
+            return unprep_trunk_ct(params, self.net_cfg)
+        return params
 
     # -- steps -------------------------------------------------------------
 
@@ -134,6 +162,10 @@ class SRTrainer:
         gstep = state["step"] + 1
         (loss, _), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
             state["params"], lr_img, hr_img, rng)
+        if self._prep_trunk:
+            from esrganplus_tpu.models.rrdb import mask_trunk_ct_grads
+
+            grads = mask_trunk_ct_grads(grads, self.net_cfg)
         updates, new_opt = self.tx.update(grads, state["opt_state"], state["params"])
         lr = self.lr_schedule(gstep)
         updates = jax.tree.map(lambda u: -lr * u, updates)
