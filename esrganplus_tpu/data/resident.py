@@ -147,12 +147,14 @@ class ResidentCropStore:
         def sample(key, lr_pool, hr_pool):
             kidx, kaug = jax.random.split(key)
             idx = jax.random.randint(kidx, (batch_size,), 0, n)
-            lr = lr_pool[idx].astype(jnp.float32) / 255.0
-            hr = hr_pool[idx].astype(jnp.float32) / 255.0
-            # _paired_augment parity: same decision applied to LR and HR
+            # _paired_augment parity: same decision applied to LR and HR.
+            # Augment the uint8 crops and cast AFTER: flips/transpose are
+            # pure permutations, so they commute with the cast exactly, and
+            # the augment's select/relayout traffic shrinks 4x (measured
+            # 0.68 ms/step of f32 augment glue in the round-4 GAN trace).
             dec = _augment_decisions(kaug, batch_size, flip, rot)
-            lr = _apply_augment(lr, *dec)
-            hr = _apply_augment(hr, *dec)
+            lr = _apply_augment(lr_pool[idx], *dec).astype(jnp.float32) / 255.0
+            hr = _apply_augment(hr_pool[idx], *dec).astype(jnp.float32) / 255.0
             return (jax.lax.with_sharding_constraint(lr, dat),
                     jax.lax.with_sharding_constraint(hr, dat))
 
@@ -237,14 +239,14 @@ class ResidentSegStore:
             kidx, kaug = jax.random.split(key)
             idx = jax.random.randint(kidx, (batch_size,), 0, n)
             lr = lr_pool[idx]
-            seg = seg_pool[idx].astype(jnp.float32) / 255.0
-            hr = hr_pool[idx].astype(jnp.float32) / 255.0
             cat = cat_pool[idx]
             dec = _augment_decisions(kaug, batch_size, flip, rot)
             cons = lambda a: jax.lax.with_sharding_constraint(
                 a, data_sharding(mesh, a.ndim))
-            return (cons(_apply_augment(lr, *dec)),
-                    cons(_apply_augment(seg, *dec)),
-                    cons(_apply_augment(hr, *dec)), cons(cat))
+            # augment uint8 pools before the cast (exact — see ResidentCropStore)
+            seg = _apply_augment(seg_pool[idx], *dec).astype(jnp.float32) / 255.0
+            hr = _apply_augment(hr_pool[idx], *dec).astype(jnp.float32) / 255.0
+            return (cons(_apply_augment(lr, *dec)), cons(seg),
+                    cons(hr), cons(cat))
 
         return sample
