@@ -96,7 +96,7 @@ def main(argv=None):
     from esrganplus_tpu.parallel import make_mesh
     from esrganplus_tpu.train.checkpoint import (
         STATE_SUFFIX,
-        load_state,
+        load_state_auto,
         save_networks_pth,
         save_state,
     )
@@ -175,7 +175,10 @@ def main(argv=None):
         logger.info(f"loaded pretrained G from {opt['path']['pretrain_model_G']}")
     start_step = 0
     if resume_path:
-        state = load_state(resume_path, state)
+        # representation-tolerant: a state saved under the other prep_trunk
+        # gate (e.g. TPU-trained prepared masters resumed on a CPU trainer)
+        # converts exactly — the layouts are permutations of each other.
+        state = load_state_auto(resume_path, state, net_g)
         start_step = int(np.asarray(state["step"]))
         logger.info(f"resumed from {resume_path} at step {start_step}")
 

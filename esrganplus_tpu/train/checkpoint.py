@@ -69,6 +69,49 @@ def load_state(path: str, template_state):
     return jax.tree_util.tree_unflatten(treedef, restored)
 
 
+def _toggle_g_repr(tree, net_cfg):
+    """Flip every generator-param-shaped subtree between the canonical and
+    prepared-trunk representations (``models/rrdb.py prep_trunk_ct`` /
+    ``unprep_trunk_ct``). The prepared layout is a permutation of the
+    canonical entries (plus structural zeros), so the map is exact for the
+    Adam moment trees too — they mirror the params structure and convert
+    with the same slicing/transposing."""
+    from esrganplus_tpu.models.rrdb import prep_trunk_ct, unprep_trunk_ct
+
+    def rec(node):
+        if isinstance(node, dict):
+            if "trunk" in node and "trunk_conv" in node:
+                return prep_trunk_ct(node, net_cfg)
+            if "trunk_ct" in node:
+                return unprep_trunk_ct(node, net_cfg)
+            return {k: rec(v) for k, v in node.items()}
+        if isinstance(node, tuple) and hasattr(node, "_fields"):  # NamedTuple
+            return type(node)(*[rec(v) for v in node])
+        if isinstance(node, (list, tuple)):
+            return type(node)(rec(v) for v in node)
+        return node
+
+    return rec(tree)
+
+
+def load_state_auto(path: str, template_state, net_cfg=None):
+    """:func:`load_state` that also accepts checkpoints saved under the OTHER
+    generator representation (prepared-trunk masters vs canonical — the
+    ``prep_trunk`` auto-gate differs across backends, so e.g. a TPU-trained
+    state can resume on a CPU trainer). On a structure mismatch the template
+    is toggled to the other representation, the checkpoint restored into it,
+    and the result converted back — exact, the layouts are permutations of
+    each other."""
+    try:
+        return load_state(path, template_state)
+    except ValueError:
+        if net_cfg is None:
+            raise
+        alt_template = _toggle_g_repr(template_state, net_cfg)
+        loaded = load_state(path, alt_template)  # raises if still mismatched
+        return _toggle_g_repr(loaded, net_cfg)
+
+
 def _save_pth(path: str, sd) -> None:
     import torch
 

@@ -146,6 +146,57 @@ def test_prep_static_gate():
     assert not prep_trunk_static(auto, None)
 
 
+@pytest.mark.parametrize("save_prep", [True, False])
+def test_resume_across_representations(tmp_path, save_prep):
+    """A state saved under one prep_trunk gate resumes under the other
+    (cli/train.py uses load_state_auto: e.g. TPU-trained prepared masters
+    restored by a CPU trainer). Params AND Adam moments convert exactly —
+    the continued trajectory matches a same-representation run."""
+    from esrganplus_tpu.parallel import make_mesh, shard_batch
+    from esrganplus_tpu.train import SRTrainConfig, SRTrainer
+    from esrganplus_tpu.train.checkpoint import load_state_auto, save_state
+
+    mesh = make_mesh()
+    lr = jax.random.uniform(jax.random.PRNGKey(0), (8, 8, 8, 3), jnp.float32)
+    hr = jax.random.uniform(jax.random.PRNGKey(1), (8, 32, 32, 3), jnp.float32)
+    batch = shard_batch(mesh, (np.asarray(lr), np.asarray(hr)))
+
+    def trainer(prep):
+        return SRTrainer(CFG, SRTrainConfig(lr=1e-3, milestones=(100,),
+                                            prep_trunk=prep), mesh=mesh)
+
+    # run A: 2 steps in the save representation, save, resume in the other
+    tr_a = trainer(save_prep)
+    state = tr_a.init_state(jax.random.PRNGKey(3))
+    for _ in range(2):
+        state, _ = tr_a.train_step(state, batch, jax.random.PRNGKey(7))
+    p = str(tmp_path / "2.state.npz")
+    save_state(p, state)
+
+    tr_b = trainer(not save_prep)
+    template = tr_b.init_state(jax.random.PRNGKey(9))
+    resumed = load_state_auto(p, template, CFG)
+    key = "trunk_ct" if not save_prep else "trunk"
+    assert key in resumed["params"]
+    losses_b = []
+    for _ in range(2):
+        resumed, logs = tr_b.train_step(resumed, batch, jax.random.PRNGKey(7))
+        losses_b.append(float(logs["l_pix"]))
+
+    # run C: 4 straight steps in the resume representation
+    tr_c = trainer(not save_prep)
+    ref = tr_c.init_state(jax.random.PRNGKey(3))
+    losses_c = []
+    for i in range(4):
+        ref, logs = tr_c.train_step(ref, batch, jax.random.PRNGKey(7))
+        losses_c.append(float(logs["l_pix"]))
+    np.testing.assert_allclose(losses_b, losses_c[2:], rtol=1e-5)
+    canon = lambda t, s: t.canonical_params(s["params"])
+    for a, b in zip(jax.tree.leaves(canon(tr_b, resumed)),
+                    jax.tree.leaves(canon(tr_c, ref))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_checkpoint_roundtrip_and_pth_export_with_prep(tmp_path):
     from esrganplus_tpu.parallel import make_mesh
     from esrganplus_tpu.train import SRTrainConfig, SRTrainer
