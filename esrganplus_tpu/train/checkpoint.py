@@ -104,11 +104,16 @@ def load_state_auto(path: str, template_state, net_cfg=None):
     each other."""
     try:
         return load_state(path, template_state)
-    except ValueError:
+    except ValueError as orig:
         if net_cfg is None:
             raise
-        alt_template = _toggle_g_repr(template_state, net_cfg)
-        loaded = load_state(path, alt_template)  # raises if still mismatched
+        try:
+            alt_template = _toggle_g_repr(template_state, net_cfg)
+            loaded = load_state(path, alt_template)
+        except Exception:
+            # not a representation mismatch (e.g. a genuine config mismatch,
+            # or a non-RRDB generator) — surface the original shape error
+            raise orig
         return _toggle_g_repr(loaded, net_cfg)
 
 

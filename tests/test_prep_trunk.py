@@ -197,6 +197,27 @@ def test_resume_across_representations(tmp_path, save_prep):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_resume_auto_rejects_genuine_config_mismatch(tmp_path):
+    """A real config mismatch (different depth) must surface load_state's
+    shape error, not a confusing failure from the representation toggle."""
+    import dataclasses as dc
+
+    from esrganplus_tpu.parallel import make_mesh
+    from esrganplus_tpu.train import SRTrainConfig, SRTrainer
+    from esrganplus_tpu.train.checkpoint import load_state_auto, save_state
+
+    mesh = make_mesh()
+    tr = SRTrainer(CFG, SRTrainConfig(prep_trunk=False), mesh=mesh)
+    p = str(tmp_path / "1.state.npz")
+    save_state(p, tr.init_state(jax.random.PRNGKey(0)))
+
+    other_cfg = dc.replace(CFG, nb=3)
+    tr2 = SRTrainer(other_cfg, SRTrainConfig(prep_trunk=False), mesh=mesh)
+    template = tr2.init_state(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="template"):
+        load_state_auto(p, template, other_cfg)
+
+
 def test_checkpoint_roundtrip_and_pth_export_with_prep(tmp_path):
     from esrganplus_tpu.parallel import make_mesh
     from esrganplus_tpu.train import SRTrainConfig, SRTrainer
