@@ -173,6 +173,27 @@ def main(argv=None):
         params = getattr(trainer, "ingest_params", lambda p: p)(params)
         state[g_key] = jax.device_put(params, replicated(mesh))
         logger.info(f"loaded pretrained G from {opt['path']['pretrain_model_G']}")
+    if opt["path"].get("pretrain_model_D") and not resume_path:
+        # reference semantics: GAN models load a pretrained D when set
+        # (SRGAN_model.py:233); SFT-GAN's ACD discriminator has no .pth
+        # converter here yet — warn instead of silently ignoring.
+        if net_d is None:
+            logger.warning("pretrain_model_D is set but this model kind has "
+                           "no loadable discriminator — ignored")
+        else:
+            from esrganplus_tpu.convert import load_state_dict
+            from esrganplus_tpu.convert.pth import (
+                discriminator_from_state_dict,
+                discriminator_sn_from_state_dict,
+            )
+            from esrganplus_tpu.parallel import replicated
+
+            sd = load_state_dict(opt["path"]["pretrain_model_D"])
+            conv_fn = (discriminator_sn_from_state_dict if net_d.spectral_norm
+                       else discriminator_from_state_dict)
+            state["d_params"] = jax.device_put(conv_fn(sd, net_d),
+                                               replicated(mesh))
+            logger.info(f"loaded pretrained D from {opt['path']['pretrain_model_D']}")
     start_step = 0
     if resume_path:
         # representation-tolerant: a state saved under the other prep_trunk

@@ -140,6 +140,19 @@ def test_debug_srragan_train_cycle(tmp_path):
     assert os.path.exists(os.path.join(exp, "models", "8_D.pth"))
     assert os.path.exists(os.path.join(exp, "models", "latest_D.pth"))
 
+    # a new experiment fine-tunes FROM the exported G+D — the reference loads
+    # pretrain_model_D for GAN models (SRGAN_model.py:233)
+    opt["name"] = "debug_gan_ft"
+    opt["path"]["pretrain_model_G"] = os.path.join(exp, "models", "latest_G.pth")
+    opt["path"]["pretrain_model_D"] = os.path.join(exp, "models", "latest_D.pth")
+    opt["train"]["niter"] = 2
+    json.dump(opt, open(opt_path, "w"))
+    main(["-opt", opt_path])
+    exp2 = os.path.join(root, "experiments", "debug_gan_ft")
+    logs = [f for f in os.listdir(exp2) if f.endswith(".log")]
+    text = open(os.path.join(exp2, logs[0])).read()
+    assert "loaded pretrained G" in text and "loaded pretrained D" in text
+
 
 def test_cli_test_eval(tmp_path):
     """The test CLI computes the reference metric protocol over a folder."""
