@@ -32,12 +32,18 @@ def _export_networks(models_dir, tag, model_kind, state, net_g, net_d,
     elif model_kind == "sftgan":
         import torch
 
-        from esrganplus_tpu.models.sft import sftnet_to_state_dict
+        from esrganplus_tpu.models.sft import acd_to_state_dict, sftnet_to_state_dict
 
-        sd = sftnet_to_state_dict(state["g_params"], net_g)
         os.makedirs(models_dir, exist_ok=True)
-        torch.save({k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()},
-                   os.path.join(models_dir, f"{tag}_G.pth"))
+
+        def dump(sd, name):
+            torch.save({k: torch.from_numpy(np.array(v, copy=True))
+                        for k, v in sd.items()},
+                       os.path.join(models_dir, name))
+
+        dump(sftnet_to_state_dict(state["g_params"], net_g), f"{tag}_G.pth")
+        # the reference saves the ACD discriminator too (SFTGAN_ACD_model.py)
+        dump(acd_to_state_dict(state["d_params"]), f"{tag}_D.pth")
     else:
         save_networks_pth(models_dir, tag, to_canon(state["g_params"]), net_g,
                           state["d_params"], net_d)
@@ -175,24 +181,30 @@ def main(argv=None):
         logger.info(f"loaded pretrained G from {opt['path']['pretrain_model_G']}")
     if opt["path"].get("pretrain_model_D") and not resume_path:
         # reference semantics: GAN models load a pretrained D when set
-        # (SRGAN_model.py:233); SFT-GAN's ACD discriminator has no .pth
-        # converter here yet — warn instead of silently ignoring.
-        if net_d is None:
-            logger.warning("pretrain_model_D is set but this model kind has "
-                           "no loadable discriminator — ignored")
+        # (SRGAN_model.py:233, SFTGAN_ACD_model.py:254)
+        if model_kind == "sr":
+            logger.warning("pretrain_model_D is set but model 'sr' has no "
+                           "discriminator — ignored")
         else:
             from esrganplus_tpu.convert import load_state_dict
-            from esrganplus_tpu.convert.pth import (
-                discriminator_from_state_dict,
-                discriminator_sn_from_state_dict,
-            )
             from esrganplus_tpu.parallel import replicated
 
             sd = load_state_dict(opt["path"]["pretrain_model_D"])
-            conv_fn = (discriminator_sn_from_state_dict if net_d.spectral_norm
-                       else discriminator_from_state_dict)
-            state["d_params"] = jax.device_put(conv_fn(sd, net_d),
-                                               replicated(mesh))
+            if model_kind == "sftgan":
+                from esrganplus_tpu.models.sft import acd_from_state_dict
+
+                d_params = acd_from_state_dict(sd)
+            else:
+                from esrganplus_tpu.convert.pth import (
+                    discriminator_from_state_dict,
+                    discriminator_sn_from_state_dict,
+                )
+
+                conv_fn = (discriminator_sn_from_state_dict
+                           if net_d.spectral_norm
+                           else discriminator_from_state_dict)
+                d_params = conv_fn(sd, net_d)
+            state["d_params"] = jax.device_put(d_params, replicated(mesh))
             logger.info(f"loaded pretrained D from {opt['path']['pretrain_model_D']}")
     start_step = 0
     if resume_path:

@@ -292,10 +292,17 @@ def discriminator_to_state_dict(params: dict, cfg) -> Dict[str, np.ndarray]:
 
 
 def generator_from_state_dict(sd: Dict[str, np.ndarray], cfg=None, **kw):
-    """Dispatch: RRDBNet checkpoints have RDB keys; SRResNet ones have .res keys.
-    Returns (params, cfg, info)."""
+    """Dispatch: RRDBNet checkpoints have RDB keys, SRResNet ones .res keys,
+    SFT_Net ones sft_branch keys. Returns (params, cfg, info)."""
+    from esrganplus_tpu.models.sft import SFTNetConfig, sftnet_from_state_dict
     from esrganplus_tpu.models.srresnet import SRResNetConfig, srresnet_from_state_dict
 
+    is_sft = (any(k.startswith("sft_branch.") for k in sd)
+              or isinstance(cfg, SFTNetConfig))
+    if is_sft:
+        if cfg is None:
+            cfg = SFTNetConfig()
+        return sftnet_from_state_dict(sd, cfg), cfg, {}
     is_srresnet = any(".res.0.weight" in k for k in sd) or isinstance(cfg, SRResNetConfig)
     if is_srresnet:
         params, cfg = srresnet_from_state_dict(sd, cfg)

@@ -312,3 +312,59 @@ def acd_merge_sequential(params: Params, upd_first, upd_second,
         for bn, u1, u2 in zip(params["bn"], upd_first, upd_second)
     ]
     return out
+
+
+def acd_from_state_dict(sd: Dict[str, np.ndarray], dtype=jnp.float32) -> Params:
+    """torch ``ACD_VGG_BN_96`` state dict → params.
+
+    Reference layout (``sft_arch.py:87-142``): ``feature.N`` Sequential with
+    conv at 0 then conv/BN pairs every 3 indices (2/3, 5/6, …, 20/21); heads
+    ``gan.{0,2}`` / ``cls.{0,2}`` Linear pairs on the NCHW 512·6·6 flatten."""
+    convs, bns = [], []
+    idx = 0
+    for (_k, _s, _cout, has_bn) in _ACD_PLAN:
+        convs.append(_conv_t(sd, f"feature.{idx}", dtype))
+        idx += 1
+        if has_bn:
+            bns.append({
+                "scale": jnp.asarray(sd[f"feature.{idx}.weight"], dtype),
+                "bias": jnp.asarray(sd[f"feature.{idx}.bias"], dtype),
+                "mean": jnp.asarray(sd[f"feature.{idx}.running_mean"], dtype),
+                "var": jnp.asarray(sd[f"feature.{idx}.running_var"], dtype),
+            })
+            idx += 1
+        else:
+            bns.append(None)
+        idx += 1  # in-place LeakyReLU
+    params: Params = {"convs": convs, "bn": bns}
+    for ours, theirs in (("gan0", "gan.0"), ("gan1", "gan.2"),
+                         ("cls0", "cls.0"), ("cls1", "cls.2")):
+        params[ours] = {"w": jnp.asarray(np.asarray(sd[f"{theirs}.weight"]).T, dtype),
+                        "b": jnp.asarray(sd[f"{theirs}.bias"], dtype)}
+    return params
+
+
+def acd_to_state_dict(params: Params) -> Dict[str, np.ndarray]:
+    """Export params → reference ``ACD_VGG_BN_96`` key layout (strict=True
+    loadable upstream: includes BN ``num_batches_tracked``)."""
+    sd: Dict[str, np.ndarray] = {}
+    idx = 0
+    for p, bn, (_k, _s, _cout, has_bn) in zip(params["convs"], params["bn"], _ACD_PLAN):
+        sd[f"feature.{idx}.weight"] = np.ascontiguousarray(
+            np.transpose(np.asarray(p["w"], np.float32), (3, 2, 0, 1)))
+        sd[f"feature.{idx}.bias"] = np.asarray(p["b"], np.float32)
+        idx += 1
+        if has_bn:
+            sd[f"feature.{idx}.weight"] = np.asarray(bn["scale"], np.float32)
+            sd[f"feature.{idx}.bias"] = np.asarray(bn["bias"], np.float32)
+            sd[f"feature.{idx}.running_mean"] = np.asarray(bn["mean"], np.float32)
+            sd[f"feature.{idx}.running_var"] = np.asarray(bn["var"], np.float32)
+            sd[f"feature.{idx}.num_batches_tracked"] = np.asarray(0, np.int64)
+            idx += 1
+        idx += 1
+    for ours, theirs in (("gan0", "gan.0"), ("gan1", "gan.2"),
+                         ("cls0", "cls.0"), ("cls1", "cls.2")):
+        sd[f"{theirs}.weight"] = np.ascontiguousarray(
+            np.asarray(params[ours]["w"], np.float32).T)
+        sd[f"{theirs}.bias"] = np.asarray(params[ours]["b"], np.float32)
+    return sd

@@ -293,8 +293,23 @@ def test_cli_train_sftgan_resident_e2e(tmp_path):
     from esrganplus_tpu.cli.train import main
 
     main(["-opt", opt_path])
-    assert os.path.exists(os.path.join(root, "experiments", "debug_res_sft",
-                                       "models", "latest_G.pth"))
+    models = os.path.join(root, "experiments", "debug_res_sft", "models")
+    assert os.path.exists(os.path.join(models, "latest_G.pth"))
+    # the ACD discriminator exports too (reference SFTGAN_ACD_model semantics)
+    assert os.path.exists(os.path.join(models, "latest_D.pth"))
+
+    # and a new run loads both as pretrained through the converters
+    opt["name"] = "debug_res_sft_ft"
+    opt["path"]["pretrain_model_G"] = os.path.join(models, "latest_G.pth")
+    opt["path"]["pretrain_model_D"] = os.path.join(models, "latest_D.pth")
+    opt["train"]["niter"] = 1
+    with open(opt_path, "w") as f:
+        json.dump(opt, f)
+    main(["-opt", opt_path])
+    exp2 = os.path.join(root, "experiments", "debug_res_sft_ft")
+    logs = [f for f in os.listdir(exp2) if f.endswith(".log")]
+    text = open(os.path.join(exp2, logs[0])).read()
+    assert "loaded pretrained D" in text
 
 
 def test_cli_train_resident_e2e(tmp_path):

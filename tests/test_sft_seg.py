@@ -55,36 +55,9 @@ def test_sftnet_init_and_shapes():
 
 def test_acd_parity(sft_fixture):
     _, _, sd, io = sft_fixture
-    from esrganplus_tpu.models.sft import _ACD_PLAN  # noqa
+    from esrganplus_tpu.models.sft import acd_from_state_dict
 
-    # convert torch ACD state dict manually (feature.{idx} conv/bn pairs)
-    import esrganplus_tpu.models.sft as sft_mod
-
-    params = init_acd(jax.random.PRNGKey(0))
-    idx = 0
-    convs, bns = [], []
-    for (k, s, cout, bn) in sft_mod._ACD_PLAN:
-        convs.append({
-            "w": jnp.asarray(np.transpose(sd[f"feature.{idx}.weight"], (2, 3, 1, 0))),
-            "b": jnp.asarray(sd[f"feature.{idx}.bias"]),
-        })
-        idx += 1
-        if bn:
-            bns.append({
-                "scale": jnp.asarray(sd[f"feature.{idx}.weight"]),
-                "bias": jnp.asarray(sd[f"feature.{idx}.bias"]),
-                "mean": jnp.asarray(sd[f"feature.{idx}.running_mean"]),
-                "var": jnp.asarray(sd[f"feature.{idx}.running_var"]),
-            })
-            idx += 1
-        else:
-            bns.append(None)
-        idx += 1  # activation
-    params["convs"] = convs
-    params["bn"] = bns
-    for ours, theirs in (("gan0", "gan.0"), ("gan1", "gan.2"), ("cls0", "cls.0"), ("cls1", "cls.2")):
-        params[ours] = {"w": jnp.asarray(sd[theirs + ".weight"].T),
-                        "b": jnp.asarray(sd[theirs + ".bias"])}
+    params = acd_from_state_dict(sd)
 
     x = jnp.asarray(_nchw(io["x"]))
     gan_e, cls_e, _ = acd_forward(params, x, train=False)
@@ -95,6 +68,33 @@ def test_acd_parity(sft_fixture):
     np.testing.assert_allclose(np.asarray(cls_t), io["cls_t"], atol=3e-4)
     p2 = acd_apply_updates(params, upd)
     assert not np.allclose(np.asarray(p2["bn"][1]["mean"]), np.asarray(params["bn"][1]["mean"]))
+
+
+def test_acd_state_dict_roundtrip():
+    """ACD .pth converters invert each other (reference-free); the exported
+    key set matches the torch module's exact layout (strict=True loadable)."""
+    from esrganplus_tpu.models.sft import acd_from_state_dict, acd_to_state_dict
+
+    params = init_acd(jax.random.PRNGKey(3))
+    sd = acd_to_state_dict(params)
+    # exact reference key layout: conv at feature.0 then conv/BN pairs every
+    # 3 indices; gan/cls Linear heads at .0/.2 (sft_arch.py:87-142)
+    conv_idx = [0, 2, 5, 8, 11, 14, 17, 20]
+    bn_idx = [3, 6, 9, 12, 15, 18, 21]
+    want = set()
+    for i in conv_idx:
+        want |= {f"feature.{i}.weight", f"feature.{i}.bias"}
+    for i in bn_idx:
+        want |= {f"feature.{i}.{s}" for s in
+                 ("weight", "bias", "running_mean", "running_var",
+                  "num_batches_tracked")}
+    for head in ("gan", "cls"):
+        want |= {f"{head}.0.weight", f"{head}.0.bias",
+                 f"{head}.2.weight", f"{head}.2.bias"}
+    assert set(sd) == want
+    back = acd_from_state_dict(sd)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 @pytest.mark.slow
