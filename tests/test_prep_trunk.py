@@ -197,6 +197,43 @@ def test_resume_across_representations(tmp_path, save_prep):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_gan_resume_across_representations(tmp_path):
+    """The flagship (GAN) state — g_params + D + both Adam trees + f-less —
+    also resumes across prep representations via load_state_auto."""
+    from esrganplus_tpu.models.discriminator import DiscriminatorVGGConfig
+    from esrganplus_tpu.parallel import make_mesh, shard_batch
+    from esrganplus_tpu.train.checkpoint import load_state_auto, save_state
+    from esrganplus_tpu.train.gan_model import GANTrainConfig, GANTrainer
+
+    mesh = make_mesh()
+    lr = jax.random.uniform(jax.random.PRNGKey(0), (8, 32, 32, 3), jnp.float32)
+    hr = jax.random.uniform(jax.random.PRNGKey(1), (8, 128, 128, 3), jnp.float32)
+    batch = shard_batch(mesh, (np.asarray(lr), np.asarray(hr)))
+    net_d = DiscriminatorVGGConfig(input_size=128, base_nf=8)
+
+    def trainer(prep):
+        return GANTrainer(CFG, net_d,
+                          GANTrainConfig(variant="srragan", milestones=(100,),
+                                         feature_weight=0.0, prep_trunk=prep),
+                          mesh=mesh)
+
+    tr_a = trainer(True)
+    state = tr_a.init_state(jax.random.PRNGKey(3))
+    assert "trunk_ct" in state["g_params"]
+    state, _ = tr_a.train_step(state, batch, jax.random.PRNGKey(7))
+    p = str(tmp_path / "1.state.npz")
+    save_state(p, state)
+
+    tr_b = trainer(False)
+    template = tr_b.init_state(jax.random.PRNGKey(9))
+    resumed = load_state_auto(p, template, CFG)
+    assert "trunk" in resumed["g_params"]
+    resumed, logs = tr_b.train_step(resumed, batch, jax.random.PRNGKey(7))
+    assert int(resumed["step"]) == 2
+    for k, v in logs.items():
+        assert np.isfinite(float(v)), (k, v)
+
+
 def test_resume_auto_rejects_genuine_config_mismatch(tmp_path):
     """A real config mismatch (different depth) must surface load_state's
     shape error, not a confusing failure from the representation toggle."""
