@@ -38,9 +38,7 @@ def main(argv=None):
     from esrganplus_tpu.ops.resize import imresize_np
 
     sd = load_state_dict(args.model)
-    nb = max(int(k.split(".")[1]) for k in sd if k.startswith("sft_branch.")) - 1
-    cfg = SFTNetConfig(nb=nb, legacy=args.legacy)
-    params = sftnet_from_state_dict(sd, cfg)
+    params, cfg = sftnet_from_state_dict(sd, SFTNetConfig(legacy=args.legacy))
     fwd = jax.jit(lambda p, i, s: sftnet_forward(p, i, s, cfg))
 
     os.makedirs(args.output, exist_ok=True)

@@ -173,11 +173,11 @@ def main(argv=None):
     if opt["path"].get("pretrain_model_G") and not resume_path:
         from esrganplus_tpu.convert import load_state_dict
         from esrganplus_tpu.convert.pth import generator_from_state_dict
-        from esrganplus_tpu.parallel import replicated
+        from esrganplus_tpu.parallel import replicate_tree
 
         params, _, _ = generator_from_state_dict(load_state_dict(opt["path"]["pretrain_model_G"]), net_g)
         params = getattr(trainer, "ingest_params", lambda p: p)(params)
-        state[g_key] = jax.device_put(params, replicated(mesh))
+        state[g_key] = replicate_tree(mesh, params)
         logger.info(f"loaded pretrained G from {opt['path']['pretrain_model_G']}")
     if opt["path"].get("pretrain_model_D") and not resume_path:
         # reference semantics: GAN models load a pretrained D when set
@@ -187,7 +187,7 @@ def main(argv=None):
                            "discriminator — ignored")
         else:
             from esrganplus_tpu.convert import load_state_dict
-            from esrganplus_tpu.parallel import replicated
+            from esrganplus_tpu.parallel import replicate_tree
 
             sd = load_state_dict(opt["path"]["pretrain_model_D"])
             if model_kind == "sftgan":
@@ -204,7 +204,7 @@ def main(argv=None):
                            if net_d.spectral_norm
                            else discriminator_from_state_dict)
                 d_params = conv_fn(sd, net_d)
-            state["d_params"] = jax.device_put(d_params, replicated(mesh))
+            state["d_params"] = replicate_tree(mesh, d_params)
             logger.info(f"loaded pretrained D from {opt['path']['pretrain_model_D']}")
     start_step = 0
     if resume_path:

@@ -302,7 +302,8 @@ def generator_from_state_dict(sd: Dict[str, np.ndarray], cfg=None, **kw):
     if is_sft:
         if cfg is None:
             cfg = SFTNetConfig()
-        return sftnet_from_state_dict(sd, cfg), cfg, {}
+        params, cfg = sftnet_from_state_dict(sd, cfg)
+        return params, cfg, {}
     is_srresnet = any(".res.0.weight" in k for k in sd) or isinstance(cfg, SRResNetConfig)
     if is_srresnet:
         params, cfg = srresnet_from_state_dict(sd, cfg)

@@ -122,8 +122,9 @@ class ResidentCropStore:
     def _upload(self, lr_u8: np.ndarray, hr_u8: np.ndarray):
         import jax
 
-        self.lr = jax.device_put(lr_u8, self._rep)
-        self.hr = jax.device_put(hr_u8, self._rep)
+        from esrganplus_tpu.parallel import replicate_tree
+
+        self.lr, self.hr = replicate_tree(self._mesh, (lr_u8, hr_u8))
 
     def maybe_refresh(self, step: int):
         """Re-crop and re-upload every ``refresh_steps`` steps (one bulk
@@ -214,10 +215,10 @@ class ResidentSegStore:
     def _upload(self, lr, seg, hr, cat):
         import jax
 
-        self.lr = jax.device_put(lr, self._rep)
-        self.seg = jax.device_put(seg, self._rep)
-        self.hr = jax.device_put(hr, self._rep)
-        self.cat = jax.device_put(cat, self._rep)
+        from esrganplus_tpu.parallel import replicate_tree
+
+        self.lr, self.seg, self.hr, self.cat = replicate_tree(
+            self._mesh, (lr, seg, hr, cat))
 
     def maybe_refresh(self, step: int):
         if self.refresh_steps > 0 and step > 0 and step % self.refresh_steps == 0:

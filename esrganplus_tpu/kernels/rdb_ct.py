@@ -54,6 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from esrganplus_tpu.kernels.rdb_t import _lane_shift
 
+from esrganplus_tpu.kernels.vmem import VMEM_LIMIT_BYTES
+
 
 def prepare_rdb_ct_weights(p: dict, nf: int, gc: int, conv1x1: bool,
                            dtype=jnp.bfloat16):
@@ -497,7 +499,7 @@ def rdb_ct(x, w1, w2, w3, w4, w5, bias, res=None, noise_seed=None, *,
         scratch_shapes=[pltpu.VMEM((ktot, pack * m_img), x.dtype)],
         input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(*args)
 
@@ -599,7 +601,7 @@ def conv3x3_ct(x, wm, bias=None, res=None, *, cin: int, cout: int, h: int,
         out_shape=jax.ShapeDtypeStruct((cout, n_img * m_img), x.dtype),
         scratch_shapes=[pltpu.VMEM((3 * cin, il * m_img), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(*args)
 
@@ -686,7 +688,7 @@ def _conv3x3_ct_bwd(x, wm, g, *, cin: int, cout: int, h: int, w: int,
                    jax.ShapeDtypeStruct((cout, 1), f32)),
         scratch_shapes=[pltpu.VMEM((3 * cin, il * m_img), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, wm, g)
 
@@ -972,7 +974,7 @@ def _rdb_ct_bwd(x, w1, w2, w3, w4, w5, bias, g, sv, noise_seed=None, *,
         scratch_shapes=[pltpu.VMEM((ktot, pack * m_img), x.dtype),
                         pltpu.VMEM((ktot, pack * m_img), f32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, w1, w2, w3, w4, w5, bias, g, sv,
       *([] if noise_sigma is None else [noise_seed]))

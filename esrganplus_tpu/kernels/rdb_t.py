@@ -58,6 +58,8 @@ dtype inside).
 
 from __future__ import annotations
 
+from esrganplus_tpu.kernels.vmem import VMEM_LIMIT_BYTES
+
 import functools
 from typing import Optional
 
@@ -298,7 +300,7 @@ def rdb_t(x, w1, w2, w3, w4, w5, w11, bias, res=None, *, nf: int, gc: int,
         out_shape=jax.ShapeDtypeStruct((nf, mtot), x.dtype),
         scratch_shapes=[pltpu.VMEM((ktot, pack * m_img), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(*args)
 
@@ -536,7 +538,7 @@ def _rdb_t_bwd(x, w1, w2, w3, w4, w5, w11, bias, g, *, nf: int, gc: int,
         scratch_shapes=[pltpu.VMEM((ktot, pack * m_img), x.dtype),
                         pltpu.VMEM((ktot, pack * m_img), f32)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(x, w1, w2, w3, w4, w5, w11, bias, g)
 

@@ -50,6 +50,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from esrganplus_tpu.kernels.rdb_t import _lane_shift
 
+from esrganplus_tpu.kernels.vmem import VMEM_LIMIT_BYTES
+
 
 # ---------------------------------------------------------------------------
 # static phase-group metadata
@@ -336,7 +338,7 @@ def upfold_ct(planes, wd, bias, *, C: int, P: int, h: int, w: int,
         scratch_shapes=[pltpu.VMEM((C, (R + 2) * w), dt),
                         pltpu.VMEM((3 * C, (R + 2) * w), dt)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(*args)
     return list(out)
@@ -470,7 +472,7 @@ def conv_hr_ct(planes, w0, b0, w1, b1, *, C: int, P: int, CO2: int, h: int,
         scratch_shapes=[pltpu.VMEM((3 * C, (R + 4) * w), dt),
                         pltpu.VMEM((C, (R + 4) * w), dt)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=112 * 1024 * 1024),
+            vmem_limit_bytes=VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(*args)
     return list(out)
@@ -801,7 +803,7 @@ def _make_upfold_ct_diff(C: int, P: int, h: int, w: int, n_img: int,
                             pltpu.VMEM((3 * C, (Rv + 2) * w), dt),
                             pltpu.VMEM((3 * C, (Rv + 2) * w), f32)],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=112 * 1024 * 1024),
+                vmem_limit_bytes=VMEM_LIMIT_BYTES),
             interpret=interpret,
         )(*(list(planes) + edges + [wd.astype(dt)] + list(outs) + list(gs)))
         res = jax.lax.optimization_barrier(res)
@@ -887,7 +889,7 @@ def _make_conv_hr_ct_diff(C: int, P: int, CO2: int, h: int, w: int,
                             pltpu.VMEM((3 * C, (Rv + 4) * w), dt),
                             pltpu.VMEM((3 * C, (Rv + 4) * w), f32)],
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=112 * 1024 * 1024),
+                vmem_limit_bytes=VMEM_LIMIT_BYTES),
             interpret=interpret,
         )(*(list(planes) + edges
             + [w0.astype(dt), b0, w1.astype(dt)] + list(gs)))

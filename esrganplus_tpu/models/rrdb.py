@@ -28,6 +28,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from esrganplus_tpu.kernels.vmem import VMEM_GATE_BYTES
 from esrganplus_tpu.models.layers import (
     Params,
     act,
@@ -268,7 +269,7 @@ def _use_pallas_trunk(cfg: RRDBNetConfig, train: bool, dtype, h: int, w: int) ->
     per_el = 6 if train else 2
     im3_bytes = (3 * (cfg.nf + 4 * cfg.gc) * h * w * per_el
                  + 3 * cfg.nf * h * w * 4)
-    return im3_bytes <= 96 * 1024 * 1024
+    return im3_bytes <= VMEM_GATE_BYTES
 
 
 def _use_pallas_tail(cfg: RRDBNetConfig) -> bool:
@@ -544,7 +545,7 @@ def _trunk_pallas(trunk_params: Optional[Params], fea: jnp.ndarray,
     im3_il1 = 3 * (cfg.nf + 4 * cfg.gc) * h * w * 2 + 3 * cfg.nf * h * w * 4
     il = 1
     for cand in (4, 2):
-        if b % cand == 0 and cand * im3_il1 <= 96 * 1024 * 1024:
+        if b % cand == 0 and cand * im3_il1 <= VMEM_GATE_BYTES:
             il = cand
             break
 

@@ -227,7 +227,9 @@ def _conv_t(sd, prefix, dtype):
 
 
 def sftnet_from_state_dict(sd: Dict[str, np.ndarray], cfg: SFTNetConfig = SFTNetConfig(),
-                           dtype=jnp.float32) -> Params:
+                           dtype=jnp.float32) -> Tuple[Params, SFTNetConfig]:
+    """Returns ``(params, cfg)`` — cfg is corrected to the checkpoint's
+    inferred depth, so callers must not keep using the one they passed in."""
     # Infer depth from the branch keys: indices 0..nb-1 are resblocks, nb the
     # final SFT layer, nb+1 the final conv.
     max_idx = max(int(k.split(".")[1]) for k in sd if k.startswith("sft_branch."))
@@ -265,7 +267,7 @@ def sftnet_from_state_dict(sd: Dict[str, np.ndarray], cfg: SFTNetConfig = SFTNet
             "conv1": _conv_t(sd, "HR_branch.8", dtype),
         },
         "cond": {f"c{i}": _conv_t(sd, f"CondNet.{2 * i}", dtype) for i in range(5)},
-    }
+    }, cfg
 
 
 def sftnet_to_state_dict(params: Params, cfg: SFTNetConfig = SFTNetConfig()) -> Dict[str, np.ndarray]:

@@ -17,7 +17,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch", "local_batch_size"]
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch",
+           "shard_local_batch", "replicate_tree", "local_batch_size"]
 
 
 def make_mesh(data: Optional[int] = None, model: int = 1,
@@ -41,10 +42,41 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Single-process form: each leaf is the GLOBAL batch. For multi-process
+    runs use :func:`shard_local_batch` (each process holds only its slice)."""
     return jax.tree.map(
         lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), batch
     )
+
+
+def shard_local_batch(mesh: Mesh, batch):
+    """Batch-axis sharding from PROCESS-LOCAL data: each process passes its
+    own contiguous slice of the global batch (the TrainLoader host-interleave
+    order is host-major, so process i's local batch is global rows
+    [i·local : (i+1)·local]). Works in single-process runs too, where local
+    data IS the global batch."""
+    def put(x):
+        sh = data_sharding(mesh, np.ndim(x))
+        if jax.process_count() == 1:
+            return jax.device_put(x, sh)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+    return jax.tree.map(put, batch)
+
+
+def replicate_tree(mesh: Mesh, tree):
+    """Replicate a pytree of host/device arrays over the whole mesh. In
+    multi-process runs every process must pass IDENTICAL values (seeded
+    init / seeded pools) — replication is assembled from the local copies
+    without any cross-process value check (standard SPMD discipline)."""
+    rep = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, rep)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)),
+        tree)
 
 
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:

@@ -110,10 +110,11 @@ def load_state_auto(path: str, template_state, net_cfg=None):
         try:
             alt_template = _toggle_g_repr(template_state, net_cfg)
             loaded = load_state(path, alt_template)
-        except Exception:
+        except Exception as exc:
             # not a representation mismatch (e.g. a genuine config mismatch,
-            # or a non-RRDB generator) — surface the original shape error
-            raise orig
+            # or a non-RRDB generator) — surface the original shape error,
+            # keeping the retry failure inspectable via __cause__
+            raise orig from exc
         return _toggle_g_repr(loaded, net_cfg)
 
 

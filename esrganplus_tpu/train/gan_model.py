@@ -41,7 +41,7 @@ from esrganplus_tpu.models.discriminator import (
 from esrganplus_tpu.models import generator_forward, generator_init
 from esrganplus_tpu.models.rrdb import RRDBNetConfig
 from esrganplus_tpu.models.vgg import VGGFeatConfig, load_vgg_feat, vgg_feat_forward
-from esrganplus_tpu.parallel import data_sharding, make_mesh, replicated
+from esrganplus_tpu.parallel import data_sharding, make_mesh, replicate_tree, replicated
 from esrganplus_tpu.train.schedule import multistep_lr
 from esrganplus_tpu.train.sr_model import pixel_loss
 
@@ -139,7 +139,7 @@ class GANTrainer:
         }
         if self.use_feature:
             state["f_params"] = self.f_params
-        return jax.device_put(state, replicated(self.mesh))
+        return replicate_tree(self.mesh, state)
 
     def ingest_params(self, params):
         """Canonical G params → the trainer's state representation (prepared

@@ -28,7 +28,7 @@ from esrganplus_tpu.models.sft import (
     sftnet_forward,
 )
 from esrganplus_tpu.models.vgg import VGGFeatConfig, load_vgg_feat, vgg_feat_forward
-from esrganplus_tpu.parallel import data_sharding, make_mesh, replicated
+from esrganplus_tpu.parallel import data_sharding, make_mesh, replicate_tree, replicated
 from esrganplus_tpu.train.schedule import multistep_lr
 from esrganplus_tpu.train.sr_model import pixel_loss
 
@@ -130,7 +130,7 @@ class SFTGANTrainer:
         }
         if self.use_feature:
             state["f_params"] = self.f_params
-        return jax.device_put(state, replicated(self.mesh))
+        return replicate_tree(self.mesh, state)
 
     def _g_loss(self, g_params, d_params, f_params, lr_img, seg, hr_img, cat):
         cfg = self.cfg

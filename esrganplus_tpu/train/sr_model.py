@@ -20,7 +20,7 @@ import optax
 
 from esrganplus_tpu.models import generator_forward, generator_init
 from esrganplus_tpu.models.rrdb import RRDBNetConfig
-from esrganplus_tpu.parallel import data_sharding, make_mesh, replicated
+from esrganplus_tpu.parallel import data_sharding, make_mesh, replicate_tree, replicated
 from esrganplus_tpu.train.schedule import multistep_lr
 
 
@@ -121,7 +121,7 @@ class SRTrainer:
             "opt_state": self.tx.init(params),
             "step": jnp.zeros((), jnp.int32),
         }
-        return jax.device_put(state, replicated(self.mesh))
+        return replicate_tree(self.mesh, state)
 
     def ingest_params(self, params):
         """Canonical generator params → the trainer's state representation

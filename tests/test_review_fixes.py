@@ -83,3 +83,39 @@ def test_sequential_bn_merge_math():
     out = merge_sequential_bn(params, st1, st2, cfg, momentum=m)
     want = m * (m * old + (1 - m) * real_b) + (1 - m) * fake_b
     np.testing.assert_allclose(np.asarray(out["bn"][0]["b"]["mean"]), want, rtol=1e-6)
+
+
+def test_sft_dispatch_returns_inferred_depth_cfg():
+    # round-4 advisor: generator_from_state_dict must return the cfg whose nb
+    # was inferred from the checkpoint, not the default-depth one passed in
+    import jax
+    from esrganplus_tpu.convert.pth import generator_from_state_dict
+    from esrganplus_tpu.models.sft import SFTNetConfig, init_sftnet, sftnet_to_state_dict
+
+    cfg = SFTNetConfig(nb=3)
+    sd = sftnet_to_state_dict(init_sftnet(jax.random.PRNGKey(0), cfg), cfg)
+    params, out_cfg, _ = generator_from_state_dict(sd)
+    assert out_cfg.nb == 3
+    assert params["blocks"]["conv0"]["w"].shape[0] == 3
+
+
+def test_load_state_auto_chains_retry_failure():
+    # round-4 advisor: the retry path's own failure must stay inspectable
+    # via __cause__ instead of being silently swallowed
+    import os
+    import tempfile
+
+    import jax.numpy as jnp
+    import pytest
+
+    from esrganplus_tpu.train import checkpoint as ckpt
+
+    state = {"G": {"trunk": jnp.zeros((2,)), "trunk_conv": jnp.zeros((2,))}}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "s.state.npz")
+        ckpt.save_state(path, state)
+        bad_template = {"G": {"trunk": jnp.zeros((3,)), "trunk_conv": jnp.zeros((3,))}}
+        with pytest.raises(ValueError) as ei:
+            # net_cfg=object() makes the toggle itself blow up -> retry fails
+            ckpt.load_state_auto(path, bad_template, net_cfg=object())
+        assert ei.value.__cause__ is not None

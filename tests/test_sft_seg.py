@@ -37,7 +37,7 @@ def sft_fixture():
 
 def test_sftnet_parity(sft_fixture):
     sd, io, _, _ = sft_fixture
-    params = sftnet_from_state_dict(sd)
+    params, _ = sftnet_from_state_dict(sd)
     out = sftnet_forward(params, jnp.asarray(_nchw(io["img"])), jnp.asarray(_nchw(io["seg"])))
     want = _nchw(io["out"])
     assert out.shape == want.shape
