@@ -85,6 +85,30 @@ def planes_to_nhwc(planes, n_img: int, h: int, w: int):
     return x.transpose(2, 3, 4, 0, 1).reshape(n_img, h, w * P, C)
 
 
+def pad_rows_planes(planes, c_to: int):
+    """Zero-pad each plane's channel rows up to ``c_to``. Mosaic cannot
+    relayout <8-sublane vectors through the kernels' lane shifts (measured:
+    'result/input offset mismatch on non-concat dimension' at C=3), so the
+    3-channel entry convs run at C=8 with zero rows; pad the weights' input-
+    channel dim to match (``pad_w_cin``). The pad is XLA-side and its VJP
+    slices the cotangent back automatically."""
+    out = []
+    for p in planes:
+        if p.shape[0] < c_to:
+            p = jnp.concatenate(
+                [p, jnp.zeros((c_to - p.shape[0], p.shape[1]), p.dtype)], 0)
+        out.append(p)
+    return out
+
+
+def pad_w_cin(w, c_to: int):
+    """Zero-pad conv weights' input-channel dim (HWIO axis 2) to ``c_to``."""
+    if w.shape[2] >= c_to:
+        return w
+    pad = jnp.zeros(w.shape[:2] + (c_to - w.shape[2],) + w.shape[3:], w.dtype)
+    return jnp.concatenate([w, pad], 2)
+
+
 def pool2_planes(planes, n_img: int, h: int, w: int):
     """2×2 max pool, stride 2, on P column-phase planes → P/2 planes at
     (h/2, w). Columns: output plane π pools input planes (2π, 2π+1)
@@ -517,7 +541,8 @@ def _conv_s2_bwd_kernel(*refs, C: int, CO: int, P: int, W: int, R: int,
     dxs = refs[2 * P + 1 + P:3 * P + 1 + P]
     des = refs[3 * P + 1 + P:4 * P + 1 + P]
     dwm_ref, db_ref = refs[4 * P + 1 + P:4 * P + 3 + P]
-    win_ref, pe_ref, po_ref, im_ref, dpe_ref, dpo_ref = refs[4 * P + 3 + P:]
+    (win_ref, pe_ref, po_ref, im_ref, dpe_ref, dpo_ref,
+     dwin_ref) = refs[4 * P + 3 + P:]
     gs = wm_ref.shape[1] // 2
     Rh = R // 2
     Mo = Rh * W
@@ -570,13 +595,16 @@ def _conv_s2_bwd_kernel(*refs, C: int, CO: int, P: int, W: int, R: int,
         dpo_ref[:, 0:Mo] = dim[C:2 * C]
         dpe_ref[:, W:Mo + W] = dpe_ref[:, W:Mo + W] + dim[2 * C:3 * C]
         dpo_ref[:, W:Mo + W] = dpo_ref[:, W:Mo + W] + dim[3 * C:4 * C]
-        # parity-split adjoint: interleave back into window rows
-        dwin_rows = []
+        # parity-split adjoint: interleave back into window rows via scratch
+        # ref writes (an incremental lane-dim concatenate trips Mosaic's
+        # offset relayout)
         for j in range(Rh + 1):
-            dwin_rows.append(dpe_ref[:, j * W:(j + 1) * W])
-            dwin_rows.append(dpo_ref[:, j * W:(j + 1) * W])
-        dwin = jnp.concatenate(dwin_rows, 1)                # [C, (R+2)W]
-        _scatter_window_adj(dwin, dxs[p], des[p], C, W, R, 1, False, dt)
+            dwin_ref[:, (2 * j) * W:(2 * j + 1) * W] = \
+                dpe_ref[:, j * W:(j + 1) * W]
+            dwin_ref[:, (2 * j + 1) * W:(2 * j + 2) * W] = \
+                dpo_ref[:, j * W:(j + 1) * W]
+        _scatter_window_adj(dwin_ref[:, :], dxs[p], des[p], C, W, R, 1,
+                            False, dt)
 
 
 @functools.lru_cache(maxsize=None)
@@ -636,7 +664,8 @@ def _make_conv_s2_ct_diff(C: int, CO: int, P: int, h: int, w: int,
                             pltpu.VMEM((C, (Rh + 1) * w), dt),
                             pltpu.VMEM((4 * C, Rh * w), dt),
                             pltpu.VMEM((C, (Rh + 1) * w), f32),
-                            pltpu.VMEM((C, (Rh + 1) * w), f32)],
+                            pltpu.VMEM((C, (Rh + 1) * w), f32),
+                            pltpu.VMEM((C, (Rv + 2) * w), f32)],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=VMEM_LIMIT_BYTES),
             interpret=interpret,

@@ -47,6 +47,9 @@ class DiscriminatorVGGConfig:
     act_slope: float = 0.2
     spectral_norm: bool = False
     sn_power_iters: int = 1
+    # early-stage plane kernels (kernels/stage_ct.py) for the ≤128-channel
+    # stages: 'auto' (bf16 on TPU), 'pallas' (forced; interpret on CPU), 'xla'
+    stage_kernel: str = "auto"
 
     @property
     def n_stages(self) -> int:
@@ -115,10 +118,115 @@ def _sn_weight(p: Params, n_iters: int):
     return w / sigma, u
 
 
+def _use_pallas_stages(cfg: DiscriminatorVGGConfig, dtype, h: int,
+                       w: int) -> int:
+    """Number of leading D stages (conv-a + conv-b pairs) to run in the
+    plane kernels. The ≤128-channel stages 0-1 pay XLA's lane ceiling;
+    deeper stages are near the MXU roof already (round-5 probe). SN stays
+    on XLA (per-forward weight renorm; not the flagship recipe)."""
+    if cfg.stage_kernel == "xla" or cfg.spectral_norm:
+        return 0
+    if h % 4 or w % 4:
+        return 0
+    n = sum(1 for c in cfg.stage_channels[:2] if c <= 128)
+    if cfg.stage_kernel == "pallas":
+        return n
+    if dtype == jnp.bfloat16 and jax.default_backend() != "cpu":
+        return n
+    return 0
+
+
+def _batchnorm_planes(planes, p, train: bool, momentum: float = 0.9,
+                      eps: float = 1e-5):
+    """Plane-layout twin of ``layers.batchnorm`` (torch semantics: biased
+    var for normalisation, unbiased for the running update). Stats pool
+    over all P planes (rows = channels, lanes = pixels) in f32."""
+    f32 = jnp.float32
+    dt = planes[0].dtype
+    n = len(planes) * planes[0].shape[1]
+    s1 = sum(jnp.sum(pl.astype(f32), axis=1) for pl in planes)
+    if train:
+        s2 = sum(jnp.sum(jnp.square(pl.astype(f32)), axis=1) for pl in planes)
+        mean = s1 / n
+        var = s2 / n - jnp.square(mean)
+        unbiased = var * n / max(n - 1, 1)
+        new_stats = {
+            "mean": (momentum * p["mean"] + (1 - momentum) * mean).astype(p["mean"].dtype),
+            "var": (momentum * p["var"] + (1 - momentum) * unbiased).astype(p["var"].dtype),
+        }
+    else:
+        mean, var = p["mean"].astype(f32), p["var"].astype(f32)
+        new_stats = {"mean": p["mean"], "var": p["var"]}
+    inv = jax.lax.rsqrt(var + eps) * p["scale"].astype(f32)
+    shift = p["bias"].astype(f32) - mean * inv
+    outs = [(pl.astype(f32) * inv[:, None] + shift[:, None]).astype(dt)
+            for pl in planes]
+    return outs, new_stats
+
+
+def _early_stages_pallas(params: Params, x: jnp.ndarray,
+                         cfg: DiscriminatorVGGConfig, n_pal: int,
+                         train: bool, dtype):
+    """Stages 0..n_pal-1 in the plane layout: conv-a (s1) → BN → lrelu →
+    conv-b (4×4 s2 phase decimation) → BN → lrelu. Convs run the custom-VJP
+    kernels (weights cross in master f32); BN/lrelu ride XLA on the plane
+    arrays (train-mode BN needs the full-tensor reduction anyway). Returns
+    (NHWC activations, bn update dicts)."""
+    from esrganplus_tpu.kernels.stage_ct import (
+        conv_s1_ct_diff, conv_s2_ct_diff, nhwc_to_planes, pad_rows_planes,
+        pad_w_cin, planes_to_nhwc, prepare_conv4s2_ct, prepare_convxp_ct)
+
+    interp = jax.default_backend() == "cpu"
+    b, H, W, _ = x.shape
+    P = 4
+    kdt = dtype if dtype is not None else x.dtype
+    slope = cfg.act_slope
+    lrelu = lambda pls: [jnp.where(t >= 0, t, t * slope) for t in pls]
+    planes = nhwc_to_planes(x.astype(kdt), P)
+    hh, ww = H, W // P
+    cin = cfg.in_nc
+    bn_updates = []
+    for i in range(n_pal):
+        stage = params["convs"][i]
+        cout = cfg.stage_channels[i]
+        upd = {}
+        w_conv, c_eff = stage["a"]["w"], cin
+        if cin < 8:  # Mosaic needs ≥8 sublanes through the lane shifts
+            planes = pad_rows_planes(planes, 8)
+            w_conv, c_eff = pad_w_cin(w_conv, 8), 8
+        wm, bias = prepare_convxp_ct(w_conv, stage["a"]["b"], P,
+                                     dtype=jnp.float32)
+        planes = conv_s1_ct_diff(planes, wm, bias, C=c_eff, CO=cout, P=P,
+                                 h=hh, w=ww, n_img=b, act=None,
+                                 slope=slope, interpret=interp)
+        if cfg.use_bn and params["bn"][i]["a"] is not None:
+            planes, upd["a"] = _batchnorm_planes(planes, params["bn"][i]["a"],
+                                                 train)
+        planes = lrelu(planes)
+        wm2, bias2 = prepare_conv4s2_ct(stage["b"]["w"], stage["b"]["b"], P,
+                                        dtype=jnp.float32)
+        planes = conv_s2_ct_diff(planes, wm2, bias2, C=cout, CO=cout, P=P,
+                                 h=hh, w=ww, n_img=b, act=None,
+                                 slope=slope, interpret=interp)
+        P, hh = P // 2, hh // 2
+        if cfg.use_bn:
+            planes, upd["b"] = _batchnorm_planes(planes, params["bn"][i]["b"],
+                                                 train)
+        planes = lrelu(planes)
+        bn_updates.append(upd)
+        cin = cout
+    return planes_to_nhwc(planes, b, hh, ww), bn_updates
+
+
 def discriminator_forward(params: Params, x: jnp.ndarray, cfg: DiscriminatorVGGConfig,
                           train: bool = False, dtype=None):
     """Returns (logits [B, 1], new_state) where new_state carries updated BN
-    running stats (train mode) or SN power-iteration vectors."""
+    running stats (train mode) or SN power-iteration vectors.
+
+    On TPU in bf16 the ≤128-channel stages 0-1 run through the plane-layout
+    stage kernels (``kernels/stage_ct.py``, custom VJPs); deeper stages and
+    the classifier stay on XLA (near the MXU roof there — round-5 probe,
+    incl. a measured dead end: reordering the NCHW flatten saves nothing)."""
     a = lambda t: act(t, cfg.act_type, cfg.act_slope)
     new_state: Params = {}
 
@@ -129,9 +237,13 @@ def discriminator_forward(params: Params, x: jnp.ndarray, cfg: DiscriminatorVGGC
             p = {**p, "w": w_bar}
         return conv2d(h, p, stride=stride, pad=pad, dtype=dtype)
 
+    n_pal = _use_pallas_stages(cfg, dtype, x.shape[1], x.shape[2])
     h = x
     bn_updates = []
-    for i, stage in enumerate(params["convs"]):
+    if n_pal:
+        h, bn_updates = _early_stages_pallas(params, x, cfg, n_pal, train,
+                                             dtype)
+    for i, stage in enumerate(params["convs"][n_pal:], start=n_pal):
         h = apply_conv(h, stage["a"], 1, "same", f"conv{i}a")
         upd = {}
         if cfg.use_bn and params["bn"][i]["a"] is not None:

@@ -37,6 +37,9 @@ class VGGFeatConfig:
     use_input_norm: bool = True
     # Conv plan; override only for width-reduced test fixtures.
     layout: Tuple = VGG19_LAYOUT
+    # early-stage plane kernels (kernels/stage_ct.py) for the ≤128-channel
+    # blocks: 'auto' (bf16 on TPU), 'pallas' (forced; interpret on CPU), 'xla'
+    stage_kernel: str = "auto"
 
 
 def _torchvision_plan(cfg: VGGFeatConfig) -> List[tuple]:
@@ -105,17 +108,89 @@ def load_vgg_feat(path: Optional[str], cfg: VGGFeatConfig = VGGFeatConfig(),
     return init_vgg_feat(jax.random.PRNGKey(0), cfg, dtype)
 
 
+def _use_pallas_stages(cfg: VGGFeatConfig, dtype, h: int, w: int) -> bool:
+    """Gate for running the ≤128-channel early blocks through the plane
+    kernels (entry P=4 phases → two pools max). Measured round 5: XLA runs
+    the deep 256/512-channel blocks near the MXU roof already; only blocks
+    1-2 pay the N≤128 lane ceiling."""
+    if cfg.stage_kernel == "xla" or cfg.use_bn:
+        return False
+    if h % 4 or w % 4:
+        return False
+    if cfg.stage_kernel == "pallas":
+        return True
+    return dtype == jnp.bfloat16 and jax.default_backend() != "cpu"
+
+
+def _early_stages_pallas(params: Params, x: jnp.ndarray, plan, dtype):
+    """Run the leading conv/relu/pool segment in the transposed plane layout
+    (kernels/stage_ct.py). Returns (NHWC activations, #plan entries consumed).
+    Stops before the first conv with >128 channels, before a pool that would
+    drop below P=1, or at the plan's end (a trailing conv without its relu —
+    the feature_layer=34 truncation — runs with act=None)."""
+    from esrganplus_tpu.kernels.stage_ct import (
+        conv_s1_ct_diff, nhwc_to_planes, pad_rows_planes, pad_w_cin,
+        planes_to_nhwc, pool2_planes, prepare_convxp_ct)
+
+    interp = jax.default_backend() == "cpu"
+    b, H, W, _ = x.shape
+    P = 4
+    kdt = dtype if dtype is not None else x.dtype
+    planes = None
+    hh, ww = H, W // P
+    i = 0
+    while i < len(plan):
+        entry = plan[i]
+        if entry[0] == "conv":
+            _, cin, cout = entry
+            if cout > 128:
+                break
+            act = ("relu" if i + 1 < len(plan) and plan[i + 1][0] == "relu"
+                   else None)
+            if planes is None:
+                planes = nhwc_to_planes(x.astype(kdt), P)
+            p = params["layers"][i]
+            w_conv, c_eff = p["w"], cin
+            if cin < 8:  # Mosaic needs ≥8 sublanes through the lane shifts
+                planes = pad_rows_planes(planes, 8)
+                w_conv, c_eff = pad_w_cin(w_conv, 8), 8
+            wm, bias = prepare_convxp_ct(w_conv, p["b"], P, dtype=jnp.float32)
+            planes = conv_s1_ct_diff(planes, wm, bias, C=c_eff, CO=cout, P=P,
+                                     h=hh, w=ww, n_img=b, act=act,
+                                     interpret=interp)
+            i += 2 if act else 1
+        elif entry[0] == "pool":
+            if P == 1:
+                break
+            planes = pool2_planes(planes, b, hh, ww)
+            P, hh = P // 2, hh // 2
+            i += 1
+        else:
+            break
+    if planes is None:
+        return x, 0
+    return planes_to_nhwc(planes, b, hh, ww), i
+
+
 def vgg_feat_forward(params: Params, x: jnp.ndarray, cfg: VGGFeatConfig = VGGFeatConfig(),
                      dtype=None) -> jnp.ndarray:
     """NHWC RGB [0,1] → feature map at the truncation point. Weights are treated
-    as frozen (wrap calls in stop_gradient on params if used inside a loss)."""
+    as frozen (wrap calls in stop_gradient on params if used inside a loss).
+
+    On TPU in bf16 the ≤128-channel early blocks run through the plane-layout
+    stage kernels (``kernels/stage_ct.py``; custom-VJP, so the perceptual
+    loss backward stays in-kernel); the deep blocks stay on XLA, which is
+    already near the MXU roof there (round-5 probe)."""
     if cfg.use_input_norm:
         mean = jnp.asarray(_IMAGENET_MEAN, x.dtype)
         std = jnp.asarray(_IMAGENET_STD, x.dtype)
         x = (x - mean) / std
     plan = _torchvision_plan(cfg)[: cfg.feature_layer + 1]
     h = x
-    for entry, p in zip(plan, params["layers"]):
+    start = 0
+    if _use_pallas_stages(cfg, dtype, x.shape[1], x.shape[2]):
+        h, start = _early_stages_pallas(params, x, plan, dtype)
+    for entry, p in zip(plan[start:], params["layers"][start:]):
         if entry[0] == "conv":
             h = conv2d(h, p, dtype=dtype)
         elif entry[0] == "bn":

@@ -145,3 +145,97 @@ def test_conv_s2_ct_diff_grads_match_xla(P, c, co, act):
     np.testing.assert_allclose(np.asarray(kx), np.asarray(gx), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(kb), np.asarray(gb), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(kw), np.asarray(gw), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# model-level integration: D and VGG forward parity + grads, pallas vs xla
+# ---------------------------------------------------------------------------
+
+
+def _d_cfgs(**kw):
+    from esrganplus_tpu.models.discriminator import DiscriminatorVGGConfig
+
+    kw.setdefault("input_size", 96)
+    kw.setdefault("base_nf", 8)
+    return (DiscriminatorVGGConfig(stage_kernel="pallas", **kw),
+            DiscriminatorVGGConfig(stage_kernel="xla", **kw))
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_discriminator_pallas_stages_match_xla(train):
+    from esrganplus_tpu.models.discriminator import (
+        discriminator_forward, init_discriminator)
+
+    cfg_p, cfg_x = _d_cfgs()
+    params = init_discriminator(jax.random.PRNGKey(0), cfg_x)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3), jnp.float32)
+    lp, sp = discriminator_forward(params, x, cfg_p, train=train)
+    lx, sx = discriminator_forward(params, x, cfg_x, train=train)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lx),
+                               rtol=1e-4, atol=1e-4)
+    if train:
+        for a, b in zip(jax.tree.leaves(sp["bn"]), jax.tree.leaves(sx["bn"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_discriminator_pallas_stages_grads_match_xla():
+    from esrganplus_tpu.models.discriminator import (
+        discriminator_forward, init_discriminator)
+
+    cfg_p, cfg_x = _d_cfgs()
+    params = init_discriminator(jax.random.PRNGKey(0), cfg_x)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3), jnp.float32)
+
+    def loss(cfg):
+        def f(p, x_):
+            logits, _ = discriminator_forward(p, x_, cfg, train=True)
+            return jnp.sum(jnp.sin(logits))
+        return f
+
+    gp = jax.grad(loss(cfg_p), argnums=(0, 1))(params, x)
+    gx = jax.grad(loss(cfg_x), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_vgg_pallas_stages_match_xla_and_grads():
+    from esrganplus_tpu.models.vgg import (
+        VGGFeatConfig, init_vgg_feat, vgg_feat_forward)
+
+    layout = (8, 8, "M", 16, 16, "M", 32)
+    cfg_p = VGGFeatConfig(feature_layer=12, layout=layout, stage_kernel="pallas")
+    cfg_x = VGGFeatConfig(feature_layer=12, layout=layout, stage_kernel="xla")
+    params = init_vgg_feat(jax.random.PRNGKey(0), cfg_x)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(vgg_feat_forward(params, x, cfg_p)),
+        np.asarray(vgg_feat_forward(params, x, cfg_x)),
+        rtol=1e-4, atol=1e-4)
+
+    def loss(cfg):
+        return lambda x_: jnp.sum(jnp.sin(vgg_feat_forward(params, x_, cfg)))
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss(cfg_p))(x)),
+        np.asarray(jax.grad(loss(cfg_x))(x)),
+        rtol=2e-4, atol=2e-4)
+
+
+def test_vgg_pallas_truncation_mid_block():
+    # feature_layer cutting at a conv WITHOUT its relu (the reference's l34
+    # semantics) must run the trailing conv with act=None in the plane path
+    from esrganplus_tpu.models.vgg import (
+        VGGFeatConfig, init_vgg_feat, vgg_feat_forward)
+
+    layout = (8, 8, "M", 16)
+    cfg_p = VGGFeatConfig(feature_layer=5, layout=layout, stage_kernel="pallas")
+    cfg_x = VGGFeatConfig(feature_layer=5, layout=layout, stage_kernel="xla")
+    params = init_vgg_feat(jax.random.PRNGKey(0), cfg_x)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 16, 16, 3), jnp.float32)
+    a = vgg_feat_forward(params, x, cfg_p)
+    b = vgg_feat_forward(params, x, cfg_x)
+    assert a.shape == b.shape
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-4)
