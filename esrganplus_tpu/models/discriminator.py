@@ -121,19 +121,19 @@ def _sn_weight(p: Params, n_iters: int):
 def _use_pallas_stages(cfg: DiscriminatorVGGConfig, dtype, h: int,
                        w: int) -> int:
     """Number of leading D stages (conv-a + conv-b pairs) to run in the
-    plane kernels. The ≤128-channel stages 0-1 pay XLA's lane ceiling;
-    deeper stages are near the MXU roof already (round-5 probe). SN stays
-    on XLA (per-forward weight renorm; not the flagship recipe)."""
-    if cfg.stage_kernel == "xla" or cfg.spectral_norm:
+    plane kernels. MEASURED DEAD END on v5e (round 5, NOTES_ROUND5.md):
+    XLA runs the full D stack at 0.54/1.97 ms fwd / fwd+bwd (batch 16,
+    128², bf16) and the plane kernels lose at every stripe size (best
+    1.01/3.22) — the per-conv im-buffer/extraction VPU overhead exceeds
+    the ≤128-channel lane-ceiling penalty it recovers. 'auto' therefore
+    resolves to XLA; 'pallas' forces the kernels (kept for tests and for
+    hardware where the tradeoff may flip). SN always stays on XLA."""
+    if cfg.stage_kernel != "pallas" or cfg.spectral_norm:
         return 0
     if h % 4 or w % 4:
         return 0
-    n = sum(1 for c in cfg.stage_channels[:2] if c <= 128)
-    if cfg.stage_kernel == "pallas":
-        return n
-    if dtype == jnp.bfloat16 and jax.default_backend() != "cpu":
-        return n
-    return 0
+    del dtype
+    return sum(1 for c in cfg.stage_channels[:2] if c <= 128)
 
 
 def _batchnorm_planes(planes, p, train: bool, momentum: float = 0.9,

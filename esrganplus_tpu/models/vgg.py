@@ -110,16 +110,16 @@ def load_vgg_feat(path: Optional[str], cfg: VGGFeatConfig = VGGFeatConfig(),
 
 def _use_pallas_stages(cfg: VGGFeatConfig, dtype, h: int, w: int) -> bool:
     """Gate for running the ≤128-channel early blocks through the plane
-    kernels (entry P=4 phases → two pools max). Measured round 5: XLA runs
-    the deep 256/512-channel blocks near the MXU roof already; only blocks
-    1-2 pay the N≤128 lane ceiling."""
-    if cfg.stage_kernel == "xla" or cfg.use_bn:
+    kernels (entry P=4 phases → two pools max). MEASURED DEAD END on v5e
+    (round 5, NOTES_ROUND5.md): XLA runs the full VGG19→l34 at 1.26/3.72 ms
+    fwd / fwd+bwd(dx) (batch 16, 128², bf16, ≈143 TF/s forward) and the
+    plane-kernel early blocks lose at every stripe size (best 1.67/4.52) —
+    'auto' therefore resolves to XLA; 'pallas' forces the kernels (kept
+    for tests and for hardware where the tradeoff may flip)."""
+    del dtype
+    if cfg.stage_kernel != "pallas" or cfg.use_bn:
         return False
-    if h % 4 or w % 4:
-        return False
-    if cfg.stage_kernel == "pallas":
-        return True
-    return dtype == jnp.bfloat16 and jax.default_backend() != "cpu"
+    return not (h % 4 or w % 4)
 
 
 def _early_stages_pallas(params: Params, x: jnp.ndarray, plan, dtype):

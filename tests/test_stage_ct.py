@@ -239,3 +239,21 @@ def test_vgg_pallas_truncation_mid_block():
     assert a.shape == b.shape
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_stage_kernel_auto_resolves_to_xla():
+    # round-5 measured dead end: 'auto' must NOT take the plane kernels
+    # (they lose to XLA at these stacks on v5e — NOTES_ROUND5.md)
+    from esrganplus_tpu.models.discriminator import (
+        DiscriminatorVGGConfig, _use_pallas_stages as d_gate)
+    from esrganplus_tpu.models.vgg import (
+        VGGFeatConfig, _use_pallas_stages as v_gate)
+
+    assert d_gate(DiscriminatorVGGConfig(input_size=128), jnp.bfloat16,
+                  128, 128) == 0
+    assert not v_gate(VGGFeatConfig(), jnp.bfloat16, 128, 128)
+    assert d_gate(DiscriminatorVGGConfig(input_size=128,
+                                         stage_kernel="pallas"),
+                  jnp.bfloat16, 128, 128) == 2
+    assert v_gate(VGGFeatConfig(stage_kernel="pallas"), jnp.bfloat16,
+                  128, 128)
