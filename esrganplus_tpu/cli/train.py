@@ -86,9 +86,26 @@ def main(argv=None):
                          "training loop into DIR (TensorBoard-loadable)")
     ap.add_argument("--profile-steps", type=int, default=20,
                     help="how many steps to trace (after 10 warmup steps)")
+    # multi-host launch (SURVEY §2.9): run one process per host with the
+    # same -opt; in the host-fed path `batch_size` becomes PER-PROCESS (the
+    # loader interleaves hosts round-robin over one seeded global stream,
+    # so a global step consumes num_processes × batch_size distinct
+    # samples); in resident mode `batch_size` stays GLOBAL (sampling is
+    # on-device inside the SPMD step). Process 0 owns validation output,
+    # checkpoints, and the experiment dir.
+    ap.add_argument("--dist-coordinator", default=None, metavar="HOST:PORT",
+                    help="jax.distributed coordinator address (multi-host)")
+    ap.add_argument("--dist-num-processes", type=int, default=None)
+    ap.add_argument("--dist-process-id", type=int, default=None)
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.dist_coordinator is not None:
+        jax.distributed.initialize(
+            coordinator_address=args.dist_coordinator,
+            num_processes=args.dist_num_processes,
+            process_id=args.dist_process_id)
 
     from esrganplus_tpu.data import DeviceFeeder, create_dataloader, create_dataset
     from esrganplus_tpu.options.options import (
@@ -111,18 +128,29 @@ def main(argv=None):
     from esrganplus_tpu.utils import mkdir_and_rename, set_random_seed, setup_logger
 
     opt = parse(args.opt, is_train=True)
+    # process 0 owns the experiment dir, validation output, and checkpoints;
+    # other processes train the same SPMD program and log to rank-tagged files
+    is_lead = jax.process_index() == 0
+    multi_proc = jax.process_count() > 1
     resume_path = opt["path"].get("resume_state")
     if resume_path:
         check_resume(opt)
-    else:
+    elif is_lead:
         mkdir_and_rename(opt["path"]["experiments_root"])
+    if multi_proc:
+        # non-lead processes must not race the lead's archival rename
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("experiment-dirs")
     for key in ("models", "training_state", "val_images", "log"):
         os.makedirs(opt["path"][key], exist_ok=True)
 
-    logger = setup_logger("base", opt["path"]["log"], "train", screen=True)
+    log_tag = "train" if is_lead else f"train_rank{jax.process_index()}"
+    logger = setup_logger("base", opt["path"]["log"], log_tag, screen=is_lead)
     logger.info(dict2str(opt))
     tb = _get_tb_writer(os.path.join(opt["path"]["log"], "tb")) \
-        if (opt.get("use_tb_logger") and "debug" not in opt["name"]) else None
+        if (is_lead and opt.get("use_tb_logger")
+            and "debug" not in opt["name"]) else None
 
     seed = opt["train"].get("manual_seed") or 0
     set_random_seed(seed)
@@ -312,7 +340,8 @@ def main(argv=None):
             # eval_sharded: false forces the sequential whole-image protocol —
             # padded/sharded eval is interior-exact but not bit-identical at
             # pad borders (docs/OPTIONS.md "Validation border caveat").
-            if mesh.shape["data"] > 1 and opt.get("eval_sharded") is not False:
+            if (mesh.shape["data"] > 1 and not multi_proc
+                    and opt.get("eval_sharded") is not False):
                 if sharded_eval is None:
                     from esrganplus_tpu.infer import ShardedEvaluator
 
@@ -350,8 +379,9 @@ def main(argv=None):
                 gt_img = tensor2img(sample["HR"])
                 base = os.path.splitext(os.path.basename(sample["HR_path"]))[0]
                 img_dir = os.path.join(opt["path"]["val_images"], base)
-                os.makedirs(img_dir, exist_ok=True)
-                save_img(sr_img, os.path.join(img_dir, f"{base}_{step + 1}.png"))
+                if is_lead:
+                    os.makedirs(img_dir, exist_ok=True)
+                    save_img(sr_img, os.path.join(img_dir, f"{base}_{step + 1}.png"))
                 c = scale
                 psnrs.append(calculate_psnr(
                     sr_img[c:-c, c:-c].astype(np.float64),
@@ -361,7 +391,7 @@ def main(argv=None):
             if tb:
                 tb.add_scalar("val_psnr", mean_psnr, step + 1)
 
-        if (step + 1) % save_freq == 0:
+        if (step + 1) % save_freq == 0 and is_lead:
             logger.info("Saving models and training states.")
             tag = step + 1
             save_state(os.path.join(opt["path"]["training_state"], f"{tag}{STATE_SUFFIX}"),
@@ -377,9 +407,10 @@ def main(argv=None):
         jax.profiler.stop_trace()
         logger.info(f"profiler trace written to {args.profile} (run ended "
                     f"inside the profile window)")
-    logger.info("Saving the final model.")
-    _export_networks(opt["path"]["models"], "latest", model_kind, state, net_g, net_d,
-                     trainer=trainer)
+    if is_lead:
+        logger.info("Saving the final model.")
+        _export_networks(opt["path"]["models"], "latest", model_kind, state, net_g, net_d,
+                         trainer=trainer)
     logger.info("End of training.")
     if hasattr(train_loader, "stop"):
         train_loader.stop()

@@ -154,13 +154,17 @@ class DeviceFeeder:
     """Wraps a host batch iterator; keeps N batches device-put ahead of compute."""
 
     def __init__(self, host_iter, mesh, keys=("LR", "HR"), prefetch: int = 2):
-        from esrganplus_tpu.parallel import shard_batch
+        # shard_local_batch: in a multi-process run each process's loader
+        # yields its host-interleaved LOCAL batch; the global batch is
+        # assembled from the per-process shards (single-process: plain
+        # device_put with batch sharding, unchanged)
+        from esrganplus_tpu.parallel import shard_local_batch
 
         self._host = iter(host_iter)
         self._mesh = mesh
         self._keys = keys
         self._prefetch = prefetch
-        self._shard = shard_batch
+        self._shard = shard_local_batch
         self._buf = []
 
     def _pull(self):
