@@ -427,12 +427,15 @@ def conv_s1_ct_diff(planes, wm, bias, *, C: int, CO: int, P: int, h: int,
 # ---------------------------------------------------------------------------
 
 
-def _fill_parity(pe_ref, po_ref, win, C: int, W: int, Rh: int):
+def _fill_parity(pe_ref, po_ref, win_ref, C: int, W: int, Rh: int):
     """Split a (2·Rh)-row haloed window ``[C, (2Rh)·W]`` into even/odd row
-    buffers ``[C, Rh·W]`` (contiguous lane copies — never strided)."""
+    buffers ``[C, Rh·W]``. Ref-to-ref copies on purpose: slicing a
+    materialised window VALUE at sub-128 lane offsets miscompiles on
+    Mosaic (silent wrong numbers at plane width 8, measured round 5);
+    ref-indexed load/stores lower as memory copies and stay exact."""
     for j in range(Rh):
-        pe_ref[:, j * W:(j + 1) * W] = win[:, (2 * j) * W:(2 * j + 1) * W]
-        po_ref[:, j * W:(j + 1) * W] = win[:, (2 * j + 1) * W:(2 * j + 2) * W]
+        pe_ref[:, j * W:(j + 1) * W] = win_ref[:, (2 * j) * W:(2 * j + 1) * W]
+        po_ref[:, j * W:(j + 1) * W] = win_ref[:, (2 * j + 1) * W:(2 * j + 2) * W]
 
 
 def _conv_s2_kernel(*refs, C: int, CO: int, P: int, W: int, R: int,
@@ -458,7 +461,7 @@ def _conv_s2_kernel(*refs, C: int, CO: int, P: int, W: int, R: int,
     acc = {}
     for p in range(P):
         _fill_window(win_ref, xs[p], es[p], R, W, 1, False)
-        _fill_parity(pe_ref, po_ref, win_ref[:, :], C, W, Rh + 1)
+        _fill_parity(pe_ref, po_ref, win_ref, C, W, Rh + 1)
         im_ref[0 * C:1 * C, :] = pe_ref[:, 0:Mo]
         im_ref[1 * C:2 * C, :] = po_ref[:, 0:Mo]
         im_ref[2 * C:3 * C, :] = pe_ref[:, W:Mo + W]
@@ -570,7 +573,7 @@ def _conv_s2_bwd_kernel(*refs, C: int, CO: int, P: int, W: int, R: int,
 
     for p in range(P):
         _fill_window(win_ref, xs[p], es[p], R, W, 1, False)
-        _fill_parity(pe_ref, po_ref, win_ref[:, :], C, W, Rh + 1)
+        _fill_parity(pe_ref, po_ref, win_ref, C, W, Rh + 1)
         im_ref[0 * C:1 * C, :] = pe_ref[:, 0:Mo]
         im_ref[1 * C:2 * C, :] = po_ref[:, 0:Mo]
         im_ref[2 * C:3 * C, :] = pe_ref[:, W:Mo + W]

@@ -28,16 +28,6 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _gloo_available():
-    # CPU cross-process collectives need the gloo client compiled into jaxlib
-    try:
-        import jaxlib.xla_extension  # noqa: F401
-
-        return True
-    except Exception:  # pragma: no cover
-        return False
-
-
 @pytest.fixture(scope="module")
 def two_process_logs():
     port = _free_port()

@@ -89,3 +89,59 @@ def test_fused_noise_vjp_identities():
     gx_d, = vjp_d(c)
     gx_c, = vjp_c(c)
     assert float(jnp.abs(gx_d - gx_c).max()) == 0.0
+
+
+@requires_tpu
+def test_stage_kernels_compiled_parity():
+    """conv_s1_ct / conv_s2_ct COMPILED on the chip (not interpret) match
+    the XLA NHWC convs in bf16 to dtype tolerance, and their custom-VJP
+    input grads agree. These kernels are off the default path (measured
+    dead end, NOTES_ROUND5.md) but stay forceable via stage_kernel='pallas';
+    this pins that the compiled Mosaic lowering stays correct."""
+    import jax
+    import jax.numpy as jnp
+
+    from esrganplus_tpu.kernels.stage_ct import (
+        conv_s1_ct_diff, conv_s2_ct_diff, nhwc_to_planes, planes_to_nhwc,
+        prepare_conv4s2_ct, prepare_convxp_ct)
+    from esrganplus_tpu.models.layers import conv2d
+
+    B, H, W, C, CO, P = 2, 32, 32, 16, 16, 4
+    dt = jnp.bfloat16
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    w3 = jax.random.normal(k1, (3, 3, C, CO), jnp.float32) * 0.2
+    w4 = jax.random.normal(k2, (4, 4, C, CO), jnp.float32) * 0.2
+    b = jnp.zeros((CO,), jnp.float32)
+    x = jax.random.normal(k3, (B, H, W, C), jnp.float32)
+
+    def kern_s1(x_):
+        planes = nhwc_to_planes(x_.astype(dt), P)
+        wm, bias = prepare_convxp_ct(w3, b, P, dtype=jnp.float32)
+        out = conv_s1_ct_diff(planes, wm, bias, C=C, CO=CO, P=P, h=H,
+                              w=W // P, n_img=B, act="lrelu")
+        return planes_to_nhwc(out, B, H, W // P).astype(jnp.float32)
+
+    def xla_s1(x_):
+        y = conv2d(x_, {"w": w3, "b": b}, stride=1, pad="same", dtype=dt)
+        return jnp.where(y >= 0, y, y * 0.2).astype(jnp.float32)
+
+    def kern_s2(x_):
+        planes = nhwc_to_planes(x_.astype(dt), P)
+        wm, bias = prepare_conv4s2_ct(w4, b, P, dtype=jnp.float32)
+        out = conv_s2_ct_diff(planes, wm, bias, C=C, CO=CO, P=P, h=H,
+                              w=W // P, n_img=B, act=None)
+        return planes_to_nhwc(out, B, H // 2, W // P).astype(jnp.float32)
+
+    def xla_s2(x_):
+        return conv2d(x_, {"w": w4, "b": b}, stride=2, pad=1,
+                      dtype=dt).astype(jnp.float32)
+
+    for kern, ref in ((kern_s1, xla_s1), (kern_s2, xla_s2)):
+        a = np.asarray(jax.jit(kern)(x))
+        r = np.asarray(jax.jit(ref)(x))
+        scale = np.abs(r).max()
+        assert np.abs(a - r).max() <= 0.03 * scale, (kern, np.abs(a - r).max())
+        ga = np.asarray(jax.jit(jax.grad(lambda t: jnp.sum(kern(t))))(x))
+        gr = np.asarray(jax.jit(jax.grad(lambda t: jnp.sum(ref(t))))(x))
+        gs = np.abs(gr).max()
+        assert np.abs(ga - gr).max() <= 0.05 * gs, (kern, np.abs(ga - gr).max())
