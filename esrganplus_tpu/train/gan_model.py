@@ -87,6 +87,14 @@ class GANTrainer:
         self.cfg = cfg
         self.vgg_cfg = vgg_cfg
         self.mesh = mesh if mesh is not None else make_mesh()
+        if cfg.gan_type == "wgan-gp" and \
+                getattr(net_d, "stage_kernel", "auto") == "pallas":
+            # the gradient penalty differentiates THROUGH d(x) a second time;
+            # custom_vjp kernels don't support forward-over-reverse autodiff
+            raise ValueError(
+                "gan_type='wgan-gp' needs second-order autodiff through D, "
+                "which the forced plane-stage kernels (custom VJP) do not "
+                "support — use stage_kernel='auto'/'xla' for the wgan-gp D")
         self._dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         from esrganplus_tpu.models.rrdb import prep_trunk_static
 

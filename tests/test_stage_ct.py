@@ -185,7 +185,9 @@ def test_discriminator_pallas_stages_grads_match_xla():
 
     cfg_p, cfg_x = _d_cfgs()
     params = init_discriminator(jax.random.PRNGKey(0), cfg_x)
-    x = jax.random.uniform(jax.random.PRNGKey(1), (2, 96, 96, 3), jnp.float32)
+    # batch 1: the interpret-mode kernels are the suite's slow path and the
+    # grad math is batch-size-independent (suite-runtime guard)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 96, 96, 3), jnp.float32)
 
     def loss(cfg):
         def f(p, x_):
@@ -257,3 +259,15 @@ def test_stage_kernel_auto_resolves_to_xla():
                   jnp.bfloat16, 128, 128) == 2
     assert v_gate(VGGFeatConfig(stage_kernel="pallas"), jnp.bfloat16,
                   128, 128)
+
+
+def test_wgan_gp_rejects_forced_stage_kernels():
+    from esrganplus_tpu.models.discriminator import DiscriminatorVGGConfig
+    from esrganplus_tpu.models.rrdb import RRDBNetConfig
+    from esrganplus_tpu.train.gan_model import GANTrainConfig, GANTrainer
+
+    with pytest.raises(ValueError, match="second-order"):
+        GANTrainer(RRDBNetConfig(nf=8, nb=1, gc=4),
+                   DiscriminatorVGGConfig(input_size=96, base_nf=8,
+                                          stage_kernel="pallas"),
+                   GANTrainConfig(gan_type="wgan-gp", feature_weight=0.0))
