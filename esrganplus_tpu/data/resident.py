@@ -106,7 +106,8 @@ class ResidentCropStore:
 
     def __init__(self, dataset, mesh, n_crops: int = 2048,
                  refresh_steps: int = 1000, seed: int = 0,
-                 use_flip: bool = True, use_rot: bool = True):
+                 use_flip: bool = True, use_rot: bool = True,
+                 async_refresh: bool = True):
         from esrganplus_tpu.parallel import replicated
 
         self._dataset = dataset
@@ -116,21 +117,65 @@ class ResidentCropStore:
         self.refresh_steps = int(refresh_steps)
         self.use_flip = bool(use_flip)
         self.use_rot = bool(use_rot)
+        # async refresh: build the replacement pool in a background thread
+        # and swap it in at the next maybe_refresh() poll — re-cropping
+        # 2048 pairs measured ~9 s of PNG decode on a 1-core host, a
+        # ~370-step training stall if done synchronously. Single-process
+        # only: in a multi-process run the swap step must be identical on
+        # every process (the pools feed a replicated SPMD input), and
+        # thread completion times are not — forced synchronous there.
+        self.async_refresh = bool(async_refresh)
+        self._pending = None  # (thread, one-element result list)
         self._rng = np.random.RandomState(seed)
         self._upload(*build_crop_pool(dataset, self.n_crops, self._rng))
 
     def _upload(self, lr_u8: np.ndarray, hr_u8: np.ndarray):
-        import jax
-
         from esrganplus_tpu.parallel import replicate_tree
 
         self.lr, self.hr = replicate_tree(self._mesh, (lr_u8, hr_u8))
 
+    def _async_ok(self) -> bool:
+        import jax
+
+        return self.async_refresh and jax.process_count() == 1
+
     def maybe_refresh(self, step: int):
         """Re-crop and re-upload every ``refresh_steps`` steps (one bulk
-        transfer; call from the host loop)."""
-        if self.refresh_steps > 0 and step > 0 and step % self.refresh_steps == 0:
-            self._upload(*build_crop_pool(self._dataset, self.n_crops, self._rng))
+        transfer; call from the host loop). With ``async_refresh`` the build
+        runs in a background thread and the swap lands at the first poll
+        after it finishes (a few steps' delay — statistically neutral, the
+        pool is an i.i.d. crop sample either way)."""
+        if self.refresh_steps <= 0:
+            return
+        if self._pending is not None and not self._pending[0].is_alive():
+            thread, out = self._pending
+            thread.join()
+            self._pending = None
+            self._upload(*out[0])
+        if step > 0 and step % self.refresh_steps == 0:
+            if not self._async_ok():
+                self._upload(*build_crop_pool(self._dataset, self.n_crops,
+                                              self._rng))
+                return
+            if self._pending is None:
+                import threading
+
+                out = []
+                thread = threading.Thread(
+                    target=lambda: out.append(
+                        build_crop_pool(self._dataset, self.n_crops,
+                                        self._rng)),
+                    daemon=True)
+                thread.start()
+                self._pending = (thread, out)
+
+    def flush_refresh(self):
+        """Block until any in-flight async rebuild is swapped in (tests)."""
+        if self._pending is not None:
+            thread, out = self._pending
+            thread.join()
+            self._pending = None
+            self._upload(*out[0])
 
     # -- device-side sampling (traced inside the step jit) -----------------
 
@@ -199,7 +244,8 @@ class ResidentSegStore:
 
     def __init__(self, dataset, mesh, n_crops: int = 1024,
                  refresh_steps: int = 1000, seed: int = 0,
-                 use_flip: bool = True, use_rot: bool = True):
+                 use_flip: bool = True, use_rot: bool = True,
+                 async_refresh: bool = True):
         from esrganplus_tpu.parallel import replicated
 
         self._dataset = dataset
@@ -209,21 +255,45 @@ class ResidentSegStore:
         self.refresh_steps = int(refresh_steps)
         self.use_flip = bool(use_flip)
         self.use_rot = bool(use_rot)
+        self.async_refresh = bool(async_refresh)
+        self._pending = None
         self._rng = np.random.RandomState(seed)
         self._upload(*build_seg_crop_pool(dataset, self.n_crops, self._rng))
 
     def _upload(self, lr, seg, hr, cat):
-        import jax
-
         from esrganplus_tpu.parallel import replicate_tree
 
         self.lr, self.seg, self.hr, self.cat = replicate_tree(
             self._mesh, (lr, seg, hr, cat))
 
+    _async_ok = ResidentCropStore._async_ok
+    flush_refresh = ResidentCropStore.flush_refresh
+
     def maybe_refresh(self, step: int):
-        if self.refresh_steps > 0 and step > 0 and step % self.refresh_steps == 0:
-            self._upload(*build_seg_crop_pool(self._dataset, self.n_crops,
-                                              self._rng))
+        # same async protocol as ResidentCropStore.maybe_refresh
+        if self.refresh_steps <= 0:
+            return
+        if self._pending is not None and not self._pending[0].is_alive():
+            thread, out = self._pending
+            thread.join()
+            self._pending = None
+            self._upload(*out[0])
+        if step > 0 and step % self.refresh_steps == 0:
+            if not self._async_ok():
+                self._upload(*build_seg_crop_pool(self._dataset, self.n_crops,
+                                                  self._rng))
+                return
+            if self._pending is None:
+                import threading
+
+                out = []
+                thread = threading.Thread(
+                    target=lambda: out.append(
+                        build_seg_crop_pool(self._dataset, self.n_crops,
+                                            self._rng)),
+                    daemon=True)
+                thread.start()
+                self._pending = (thread, out)
 
     def make_sampler(self, batch_size: int):
         """→ ``sample(key, lr, seg, hr, cat) -> (lr, seg, hr, cat)`` with LR/HR

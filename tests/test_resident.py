@@ -347,3 +347,49 @@ def test_cli_train_resident_e2e(tmp_path):
     main(["-opt", opt_path])
     assert os.path.exists(os.path.join(root, "experiments", "debug_resident",
                                        "models", "latest_G.pth"))
+
+
+def test_async_refresh_matches_sync(tmp_path):
+    """async_refresh builds the replacement pool in a background thread; the
+    swapped-in pool must equal what a synchronous refresh produces (same
+    seeded RNG sequence), and training polls must not stall on it."""
+    # separate dataset instances: the dataset carries its own seeded crop
+    # RNG, which each store's builds advance
+    mesh = make_mesh()
+    sync = ResidentCropStore(_make_dataset(tmp_path), mesh, n_crops=8,
+                             refresh_steps=2, seed=3, async_refresh=False)
+    asy = ResidentCropStore(_make_dataset(tmp_path), mesh, n_crops=8,
+                            refresh_steps=2, seed=3, async_refresh=True)
+    np.testing.assert_array_equal(np.asarray(sync.hr), np.asarray(asy.hr))
+
+    sync.maybe_refresh(2)          # blocks, swaps immediately
+    asy.maybe_refresh(2)           # schedules the background build
+    asy.flush_refresh()            # test hook: wait for the swap
+    np.testing.assert_array_equal(np.asarray(sync.hr), np.asarray(asy.hr))
+    np.testing.assert_array_equal(np.asarray(sync.lr), np.asarray(asy.lr))
+
+    # a second cycle through the normal poll path (no flush): spin until
+    # the background build lands via maybe_refresh itself
+    sync.maybe_refresh(4)
+    asy.maybe_refresh(4)
+    import time
+
+    deadline = time.time() + 30
+    while np.asarray(asy.hr).tobytes() != np.asarray(sync.hr).tobytes():
+        assert time.time() < deadline, "async refresh never landed"
+        time.sleep(0.05)
+        asy.maybe_refresh(5)       # non-boundary poll only harvests
+
+
+def test_async_refresh_forced_sync_multiprocess(tmp_path, monkeypatch):
+    """In a multi-process run the swap step must be identical on every
+    process, so async_refresh must fall back to synchronous."""
+    ds = _make_dataset(tmp_path)
+    mesh = make_mesh()
+    store = ResidentCropStore(ds, mesh, n_crops=8, refresh_steps=2, seed=3,
+                              async_refresh=True)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    before = np.asarray(store.hr).copy()
+    store.maybe_refresh(2)
+    assert store._pending is None  # refreshed synchronously, no thread
+    assert np.asarray(store.hr).tobytes() != before.tobytes()
