@@ -260,6 +260,8 @@ def main(argv=None):
         store = store_cls(
             train_ds, mesh, n_crops=int(resident_n),
             refresh_steps=int(train_opt_ds.get("resident_refresh", 1000)),
+            async_refresh=bool(train_opt_ds.get("resident_async_refresh",
+                                                True)),
             seed=seed,
             use_flip=train_opt_ds.get("use_flip", True),
             use_rot=train_opt_ds.get("use_rot", True))
