@@ -13,7 +13,8 @@ import os
 
 import numpy as np
 
-__all__ = ["read_img", "save_img", "img2tensor", "tensor2img", "is_image_file", "scan_images"]
+__all__ = ["read_img", "save_img", "decode_img", "encode_png", "img2tensor",
+           "tensor2img", "is_image_file", "scan_images"]
 
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".tif", ".tiff", ".JPG", ".JPEG", ".PNG", ".BMP")
 
@@ -47,6 +48,32 @@ def read_img(path: str) -> np.ndarray:
     if img.shape[2] > 3:
         img = img[:, :, :3]
     return img
+
+
+def decode_img(data: bytes) -> np.ndarray:
+    """Decode encoded image bytes (PNG/JPEG/...) → float32 HWC BGR in [0,1]
+    (same conventions as :func:`read_img`; serving path)."""
+    import cv2
+
+    img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise ValueError("undecodable image payload")
+    img = img.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] > 3:
+        img = img[:, :, :3]
+    return img
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HWC BGR uint8 → PNG bytes (serving path)."""
+    import cv2
+
+    ok, buf = cv2.imencode(".png", img)
+    if not ok:
+        raise ValueError("png encode failed")
+    return bytes(buf.tobytes())
 
 
 def save_img(img: np.ndarray, path: str) -> None:

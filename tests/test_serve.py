@@ -1,0 +1,87 @@
+"""Inference HTTP service (cli/serve.py): endpoints, image round-trip,
+error paths — server run in a thread against a tiny self-made checkpoint."""
+
+import http.client
+import json
+import os
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from esrganplus_tpu.models.rrdb import RRDBNetConfig, init_rrdbnet
+
+CFG = RRDBNetConfig(nf=8, nb=1, gc=4, upscale=4)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    import torch
+
+    from esrganplus_tpu.cli.serve import make_server
+    from esrganplus_tpu.convert.pth import generator_to_state_dict
+
+    root = tmp_path_factory.mktemp("serve")
+    params = init_rrdbnet(jax.random.PRNGKey(0), CFG)
+    sd = generator_to_state_dict(params, CFG)
+    pth = os.path.join(root, "tiny.pth")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()}, pth)
+
+    import argparse
+
+    args = argparse.Namespace(model=pth, host="127.0.0.1", port=0,
+                              dtype="fp32", pad_multiple=16, tile=0,
+                              x8=False, noise_seed=None)
+    srv, _ = make_server(args)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv.server_address
+    srv.shutdown()
+
+
+def _conn(addr):
+    return http.client.HTTPConnection(addr[0], addr[1], timeout=60)
+
+
+def test_healthz_and_stats(server):
+    c = _conn(server)
+    c.request("GET", "/healthz")
+    r = c.getresponse()
+    assert r.status == 200
+    body = json.loads(r.read())
+    assert body["status"] == "ok" and body["model"]["upscale"] == 4
+    c.request("GET", "/stats")
+    assert json.loads(c.getresponse().read())["requests"] >= 0
+
+
+def test_upscale_roundtrip(server):
+    from esrganplus_tpu.ops.image_io import decode_img, encode_png
+
+    img = (np.random.RandomState(0).rand(20, 24, 3) * 255).astype(np.uint8)
+    payload = encode_png(img)
+    c = _conn(server)
+    c.request("POST", "/upscale", body=payload,
+              headers={"Content-Type": "image/png"})
+    r = c.getresponse()
+    assert r.status == 200 and r.getheader("Content-Type") == "image/png"
+    out = decode_img(r.read())
+    assert out.shape == (80, 96, 3)  # x4, cropped back from the pad
+
+    c.request("GET", "/stats")
+    stats = json.loads(c.getresponse().read())
+    assert stats["requests"] >= 1 and stats["out_mpix"] > 0
+
+
+def test_upscale_bad_payload(server):
+    c = _conn(server)
+    c.request("POST", "/upscale", body=b"not an image")
+    r = c.getresponse()
+    assert r.status == 400
+    assert "bad image payload" in json.loads(r.read())["error"]
+
+
+def test_unknown_path(server):
+    c = _conn(server)
+    c.request("GET", "/nope")
+    assert c.getresponse().status == 404
