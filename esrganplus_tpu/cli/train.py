@@ -119,9 +119,9 @@ def main(argv=None):
     from esrganplus_tpu.parallel import make_mesh
     from esrganplus_tpu.train.checkpoint import (
         STATE_SUFFIX,
+        AsyncCheckpointer,
         load_state_auto,
         save_networks_pth,
-        save_state,
     )
     from esrganplus_tpu.ops.image_io import save_img, tensor2img
     from esrganplus_tpu.ops.metrics import calculate_psnr
@@ -282,6 +282,7 @@ def main(argv=None):
     burst = max(1, int(opt["train"].get("steps_per_dispatch", 1) or 1)) \
         if use_resident else 1
     rng = jax.random.PRNGKey(seed + 1)
+    ckpt = AsyncCheckpointer()
     sharded_eval = None
 
     # --profile: trace [start+10, start+10+profile_steps) — past compile and
@@ -396,10 +397,15 @@ def main(argv=None):
         if (step + 1) % save_freq == 0 and is_lead:
             logger.info("Saving models and training states.")
             tag = step + 1
-            save_state(os.path.join(opt["path"]["training_state"], f"{tag}{STATE_SUFFIX}"),
-                       state)
-            _export_networks(opt["path"]["models"], tag, model_kind, state, net_g, net_d,
-                             trainer=trainer)
+            # async: snapshot on device now, fetch+write in the background —
+            # the D2H fetch is the slow path on remote-attached runtimes and
+            # used to stall the step loop for its whole duration
+            ckpt.save(
+                os.path.join(opt["path"]["training_state"], f"{tag}{STATE_SUFFIX}"),
+                state,
+                export_fn=lambda snap, tag=tag: _export_networks(
+                    opt["path"]["models"], tag, model_kind, snap, net_g,
+                    net_d, trainer=trainer))
         step += 1
 
     if prof_active:
@@ -410,6 +416,7 @@ def main(argv=None):
         logger.info(f"profiler trace written to {args.profile} (run ended "
                     f"inside the profile window)")
     if is_lead:
+        ckpt.wait()  # flush any in-flight periodic save before the final one
         logger.info("Saving the final model.")
         _export_networks(opt["path"]["models"], "latest", model_kind, state, net_g, net_d,
                          trainer=trainer)

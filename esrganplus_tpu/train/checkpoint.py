@@ -49,7 +49,69 @@ def save_state(path: str, state) -> None:
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     arrays = {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
     meta = {"n_leaves": len(leaves), "treedef": str(treedef)}
-    np.savez(path, __meta__=json.dumps(meta), **arrays)
+    # write-then-rename: a crash mid-write must not leave a truncated file
+    # where resume expects a checkpoint (np.savez appends '.npz' to bare
+    # paths, so hand it an open handle)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, __meta__=json.dumps(meta), **arrays)
+    os.replace(tmp, path)
+
+
+def device_snapshot(tree):
+    """On-device copy of every jax.Array leaf (new HBM buffers, shardings
+    preserved). The point: the train step DONATES its state buffers, so a
+    background checkpoint fetch from the live state would race the next
+    step's donation — fetch from a snapshot instead. The copy is device-side
+    and cheap (~HBM bandwidth); nothing touches the host here."""
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda a: jnp.copy(a) if isinstance(a, jax.Array) else a, tree)
+
+
+class AsyncCheckpointer:
+    """Background checkpoint writer.
+
+    On remote-attached runtimes the device→host state fetch is the slow,
+    unpredictable part (measured 42 s to >9 min for a 202 MB train state
+    through the tunnel, NOTES_ROUND3.md) and it serialized with training.
+    ``save()`` snapshots the state on device (fast), then fetches and writes
+    — plus any caller-supplied exports — in a daemon thread, so the train
+    loop only ever pays the HBM copy. One write in flight at a time: a new
+    save first waits out the previous one (bounds memory to one snapshot);
+    call ``wait()`` before process exit so the last write lands."""
+
+    def __init__(self):
+        self._thread: Optional[object] = None
+        self._error: Optional[BaseException] = None
+
+    def save(self, path: str, state, export_fn=None) -> None:
+        import threading
+
+        self.wait()
+        snap = device_snapshot(state)
+
+        def work():
+            try:
+                save_state(path, snap)
+                if export_fn is not None:
+                    export_fn(snap)
+            except BaseException as e:  # surfaced on the next wait()/save()
+                self._error = e
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        """Block until the in-flight write (if any) finished; re-raise its
+        error, if it had one, on the caller's thread."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
 
 def load_state(path: str, template_state):

@@ -1,5 +1,7 @@
 """Regression tests for the code-review findings."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -119,3 +121,35 @@ def test_load_state_auto_chains_retry_failure():
             # net_cfg=object() makes the toggle itself blow up -> retry fails
             ckpt.load_state_auto(path, bad_template, net_cfg=object())
         assert ei.value.__cause__ is not None
+
+
+def test_async_checkpointer_snapshot_and_errors(tmp_path):
+    """AsyncCheckpointer writes the values as of save() time (the device
+    snapshot protects against the train step's buffer donation mutating the
+    live state), leaves no .tmp behind (atomic rename), and surfaces
+    background errors on wait()."""
+    import jax.numpy as jnp
+    import pytest
+
+    from esrganplus_tpu.train import checkpoint as ckpt
+
+    state = {"a": jnp.arange(4.0), "step": jnp.int32(3)}
+    ck = ckpt.AsyncCheckpointer()
+    path = str(tmp_path / "3.state.npz")
+    ck.save(path, state)
+    # mutate the live tree AFTER save() returned — must not affect the write
+    state["a"] = state["a"] * 0
+    ck.wait()
+    assert not os.path.exists(path + ".tmp")
+    template = {"a": jnp.zeros(4), "step": jnp.int32(0)}
+    loaded = ckpt.load_state(path, template)
+    np.testing.assert_array_equal(np.asarray(loaded["a"]), [0, 1, 2, 3])
+    assert int(loaded["step"]) == 3
+
+    def boom(snap):
+        raise RuntimeError("export exploded")
+
+    ck.save(str(tmp_path / "4.state.npz"), state, export_fn=boom)
+    with pytest.raises(RuntimeError, match="export exploded"):
+        ck.wait()
+    ck.wait()  # error consumed; idempotent afterwards
