@@ -77,6 +77,8 @@ def main(argv=None):
                     help="max |PSNR(ours) - PSNR(reference)| in dB")
     ap.add_argument("--act-tol", type=float, default=1e-4)
     args = ap.parse_args(argv)
+    if args.ref_results and not args.hr:
+        ap.error("--ref-results needs --hr for the metric comparison")
 
     from esrganplus_tpu.cli import test_image
 
@@ -112,13 +114,15 @@ def main(argv=None):
 
     # 4: the reference outputs' metrics + per-image delta
     if args.ref_results:
-        if not args.hr:
-            ap.error("--ref-results needs --hr for the metric comparison")
         ref = _metrics_over(args.hr, args.ref_results, args.ref_suffix)
         if not ref:
             failures.append("ref-results: no (HR, ref SR) pairs matched")
+        common = sorted(set(ours) & set(ref))
+        if not common and ours and ref:
+            failures.append("PSNR delta: ours and ref-results share no "
+                            "basenames — nothing was compared")
         worst = 0.0
-        for base in sorted(set(ours) & set(ref)):
+        for base in common:
             d = abs(ours[base][0] - ref[base][0])
             worst = max(worst, d)
             print(f"ref     {base}: PSNR_Y {ref[base][0]:.4f} dB  "
@@ -126,9 +130,9 @@ def main(argv=None):
         if worst > args.psnr_tol:
             failures.append(f"PSNR delta: worst |delta| {worst:.4f} dB > "
                             f"{args.psnr_tol} dB")
-        else:
+        elif common:
             print(f"PSNR parity: worst |delta| {worst:.4f} dB "
-                  f"<= {args.psnr_tol} dB")
+                  f"<= {args.psnr_tol} dB over {len(common)} images")
 
     summary = {"model": args.model, "failures": failures}
     with open(os.path.join(args.out, "summary.json"), "w") as f:

@@ -33,7 +33,10 @@ import threading
 import time
 
 
-def build_handler(inferencer, tile: int, stats: dict, lock: threading.Lock):
+def build_handler(inferencer, mode, stats: dict, lock: threading.Lock):
+    """``mode``: the per-request upscale callable picked by make_server
+    (plain / tiled / x8) — NOT an instance patch: ``upscale_x8`` calls
+    ``self.upscale`` internally, so rebinding the method would recurse."""
     from http.server import BaseHTTPRequestHandler
 
     from esrganplus_tpu.ops.image_io import decode_img, encode_png, img2tensor, tensor2img
@@ -80,21 +83,19 @@ def build_handler(inferencer, tile: int, stats: dict, lock: threading.Lock):
             try:
                 rgb = img2tensor(img)
                 with lock:
-                    if tile:
-                        out = inferencer.upscale_tiled(rgb, tile=tile)
-                    else:
-                        out = inferencer.upscale(rgb)
+                    out = mode(rgb)
                 png = encode_png(tensor2img(out))
             except Exception as e:  # surface as a 500, keep serving
                 self._json(500, {"error": str(e)})
                 return
             dt = time.perf_counter() - t0
-            stats["requests"] += 1
-            stats["out_mpix"] = round(
-                stats["out_mpix"] + out.shape[0] * out.shape[1] / 1e6, 3)
-            ewma = stats["latency_ewma_s"]
-            stats["latency_ewma_s"] = round(
-                dt if ewma == 0 else 0.9 * ewma + 0.1 * dt, 4)
+            with lock:  # ThreadingHTTPServer: read-modify-writes must not race
+                stats["requests"] += 1
+                stats["out_mpix"] = round(
+                    stats["out_mpix"] + out.shape[0] * out.shape[1] / 1e6, 3)
+                ewma = stats["latency_ewma_s"]
+                stats["latency_ewma_s"] = round(
+                    dt if ewma == 0 else 0.9 * ewma + 0.1 * dt, 4)
             self._send(200, png, "image/png")
 
     return Handler
@@ -116,19 +117,28 @@ def make_server(args):
     inf = SRInferencer(params, cfg, dtype=dtype,
                        pad_multiple=args.pad_multiple or None,
                        noise_rng=noise_rng)
-    if args.x8:
-        inf.upscale = inf.upscale_x8  # self-ensemble per request
+    if args.tile and args.x8:
+        raise SystemExit("--tile and --x8 are mutually exclusive (the "
+                         "self-ensemble is not defined per tile)")
+    if args.tile:
+        mode = lambda rgb: inf.upscale_tiled(rgb, tile=args.tile)
+    elif args.x8:
+        mode = inf.upscale_x8
+    else:
+        mode = inf.upscale
 
-    # warmup compile at one canonical shape so /healthz means "ready"
+    # warm up THE SERVING PATH at one canonical shape so /healthz means
+    # "ready" (a tiled or x8 server must compile its own programs here,
+    # not the plain forward's)
     import numpy as np
 
-    m = args.pad_multiple or 32
-    inf.upscale(np.zeros((m, m, 3), np.float32))
+    m = max(args.pad_multiple or 32, args.tile or 0)
+    mode(np.zeros((m, m, 3), np.float32))
 
     from http.server import ThreadingHTTPServer
 
     stats = {"requests": 0, "out_mpix": 0.0, "latency_ewma_s": 0.0}
-    handler = build_handler(inf, args.tile, stats, threading.Lock())
+    handler = build_handler(inf, mode, stats, threading.Lock())
     return ThreadingHTTPServer((args.host, args.port), handler), inf
 
 

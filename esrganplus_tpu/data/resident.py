@@ -108,11 +108,8 @@ class ResidentCropStore:
                  refresh_steps: int = 1000, seed: int = 0,
                  use_flip: bool = True, use_rot: bool = True,
                  async_refresh: bool = True):
-        from esrganplus_tpu.parallel import replicated
-
         self._dataset = dataset
         self._mesh = mesh
-        self._rep = replicated(mesh)
         self.n_crops = int(n_crops)
         self.refresh_steps = int(refresh_steps)
         self.use_flip = bool(use_flip)
@@ -139,6 +136,34 @@ class ResidentCropStore:
 
         return self.async_refresh and jax.process_count() == 1
 
+    def _start_build(self, build_fn):
+        import threading
+
+        out = []
+
+        def work():
+            try:
+                out.append(("ok", build_fn()))
+            except BaseException as e:  # re-raised at the swap point
+                out.append(("err", e))
+
+        thread = threading.Thread(target=work, daemon=True)
+        thread.start()
+        self._pending = (thread, out)
+
+    def _harvest(self, block: bool):
+        if self._pending is None:
+            return
+        thread, out = self._pending
+        if not block and thread.is_alive():
+            return
+        thread.join()
+        self._pending = None
+        status, payload = out[0]
+        if status == "err":
+            raise payload
+        self._upload(*payload)
+
     def maybe_refresh(self, step: int):
         """Re-crop and re-upload every ``refresh_steps`` steps (one bulk
         transfer; call from the host loop). With ``async_refresh`` the build
@@ -147,35 +172,19 @@ class ResidentCropStore:
         pool is an i.i.d. crop sample either way)."""
         if self.refresh_steps <= 0:
             return
-        if self._pending is not None and not self._pending[0].is_alive():
-            thread, out = self._pending
-            thread.join()
-            self._pending = None
-            self._upload(*out[0])
+        self._harvest(block=False)
         if step > 0 and step % self.refresh_steps == 0:
             if not self._async_ok():
                 self._upload(*build_crop_pool(self._dataset, self.n_crops,
                                               self._rng))
                 return
             if self._pending is None:
-                import threading
-
-                out = []
-                thread = threading.Thread(
-                    target=lambda: out.append(
-                        build_crop_pool(self._dataset, self.n_crops,
-                                        self._rng)),
-                    daemon=True)
-                thread.start()
-                self._pending = (thread, out)
+                self._start_build(lambda: build_crop_pool(
+                    self._dataset, self.n_crops, self._rng))
 
     def flush_refresh(self):
         """Block until any in-flight async rebuild is swapped in (tests)."""
-        if self._pending is not None:
-            thread, out = self._pending
-            thread.join()
-            self._pending = None
-            self._upload(*out[0])
+        self._harvest(block=True)
 
     # -- device-side sampling (traced inside the step jit) -----------------
 
@@ -246,11 +255,8 @@ class ResidentSegStore:
                  refresh_steps: int = 1000, seed: int = 0,
                  use_flip: bool = True, use_rot: bool = True,
                  async_refresh: bool = True):
-        from esrganplus_tpu.parallel import replicated
-
         self._dataset = dataset
         self._mesh = mesh
-        self._rep = replicated(mesh)
         self.n_crops = int(n_crops)
         self.refresh_steps = int(refresh_steps)
         self.use_flip = bool(use_flip)
@@ -267,33 +273,23 @@ class ResidentSegStore:
             self._mesh, (lr, seg, hr, cat))
 
     _async_ok = ResidentCropStore._async_ok
+    _start_build = ResidentCropStore._start_build
+    _harvest = ResidentCropStore._harvest
     flush_refresh = ResidentCropStore.flush_refresh
 
     def maybe_refresh(self, step: int):
         # same async protocol as ResidentCropStore.maybe_refresh
         if self.refresh_steps <= 0:
             return
-        if self._pending is not None and not self._pending[0].is_alive():
-            thread, out = self._pending
-            thread.join()
-            self._pending = None
-            self._upload(*out[0])
+        self._harvest(block=False)
         if step > 0 and step % self.refresh_steps == 0:
             if not self._async_ok():
                 self._upload(*build_seg_crop_pool(self._dataset, self.n_crops,
                                                   self._rng))
                 return
             if self._pending is None:
-                import threading
-
-                out = []
-                thread = threading.Thread(
-                    target=lambda: out.append(
-                        build_seg_crop_pool(self._dataset, self.n_crops,
-                                            self._rng)),
-                    daemon=True)
-                thread.start()
-                self._pending = (thread, out)
+                self._start_build(lambda: build_seg_crop_pool(
+                    self._dataset, self.n_crops, self._rng))
 
     def make_sampler(self, batch_size: int):
         """→ ``sample(key, lr, seg, hr, cat) -> (lr, seg, hr, cat)`` with LR/HR

@@ -130,6 +130,8 @@ def _use_pallas_stages(cfg: DiscriminatorVGGConfig, dtype, h: int,
     hardware where the tradeoff may flip). SN always stays on XLA."""
     if cfg.stage_kernel != "pallas" or cfg.spectral_norm:
         return 0
+    if cfg.act_type != "leakyrelu":
+        return 0  # the plane path hardcodes the lrelu gate
     if h % 4 or w % 4:
         return 0
     del dtype

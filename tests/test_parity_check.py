@@ -79,6 +79,44 @@ def test_parity_check_fails_on_wrong_reference(parity_env):
     assert any("PSNR delta" in f for f in summary["failures"])
 
 
+def test_parity_check_fails_on_disjoint_basenames(parity_env):
+    """Non-empty ours and ref sets that share NO basenames must fail, not
+    pass vacuously with worst-delta 0.0."""
+    from esrganplus_tpu.cli.parity_check import main
+
+    root, pth, lr_dir, hr_dir = parity_env
+    # reference outputs named after images that are NOT in the LR dir, with
+    # matching HR files so _metrics_over finds (HR, ref SR) pairs; the HR dir
+    # is a copy so the module fixture stays pristine
+    import shutil
+
+    alien_ref = os.path.join(root, "alien_ref")
+    hr_plus = os.path.join(root, "hr_plus")
+    shutil.copytree(hr_dir, hr_plus)
+    rng = np.random.RandomState(7)
+    for i in range(2):
+        save_img((rng.rand(48, 48, 3) * 255).astype(np.uint8),
+                 os.path.join(alien_ref, f"other{i}_nESRGANplus.png"))
+        save_img((rng.rand(48, 48, 3) * 255).astype(np.uint8),
+                 os.path.join(hr_plus, f"other{i}.png"))
+    out = os.path.join(root, "disjoint_run")
+    rc = main([pth, "--lr", lr_dir, "--hr", hr_plus,
+               "--ref-results", alien_ref, "--out", out])
+    assert rc == 1
+    summary = json.load(open(os.path.join(out, "summary.json")))
+    assert any("share no basenames" in f for f in summary["failures"])
+
+
+def test_parity_check_ref_results_requires_hr(parity_env):
+    """Arg combination is validated BEFORE the expensive inference run."""
+    from esrganplus_tpu.cli.parity_check import main
+
+    root, pth, lr_dir, _hr_dir = parity_env
+    with pytest.raises(SystemExit):
+        main([pth, "--lr", lr_dir, "--ref-results", os.path.join(root, "x"),
+              "--out", os.path.join(root, "noop_run")])
+
+
 def test_parity_check_activation_compare(parity_env):
     from esrganplus_tpu.cli.parity_check import main
     from esrganplus_tpu.cli.test_image import main as ti_main

@@ -393,3 +393,21 @@ def test_async_refresh_forced_sync_multiprocess(tmp_path, monkeypatch):
     store.maybe_refresh(2)
     assert store._pending is None  # refreshed synchronously, no thread
     assert np.asarray(store.hr).tobytes() != before.tobytes()
+
+
+def test_async_refresh_surfaces_build_errors(tmp_path, monkeypatch):
+    """A failing background rebuild must re-raise its real exception at the
+    swap point, not die silently (or as a bare IndexError)."""
+    ds = _make_dataset(tmp_path)
+    store = ResidentCropStore(ds, make_mesh(), n_crops=8, refresh_steps=2,
+                              seed=3, async_refresh=True)
+
+    def boom(*a, **k):
+        raise RuntimeError("decode exploded")
+
+    import esrganplus_tpu.data.resident as resident
+
+    monkeypatch.setattr(resident, "build_crop_pool", boom)
+    store.maybe_refresh(2)  # schedules the failing build
+    with pytest.raises(RuntimeError, match="decode exploded"):
+        store.flush_refresh()

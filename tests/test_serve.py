@@ -85,3 +85,54 @@ def test_unknown_path(server):
     c = _conn(server)
     c.request("GET", "/nope")
     assert c.getresponse().status == 404
+
+
+def test_x8_mode_warms_and_serves(tmp_path):
+    """--x8 must not recurse (upscale_x8 calls self.upscale internally; the
+    old instance-patch made them mutually recursive and crashed warmup)."""
+    import argparse
+
+    import torch
+
+    from esrganplus_tpu.cli.serve import make_server
+    from esrganplus_tpu.convert.pth import generator_to_state_dict
+    from esrganplus_tpu.ops.image_io import decode_img, encode_png
+
+    params = init_rrdbnet(jax.random.PRNGKey(0), CFG)
+    pth = os.path.join(tmp_path, "tiny.pth")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in
+                generator_to_state_dict(params, CFG).items()}, pth)
+    args = argparse.Namespace(model=pth, host="127.0.0.1", port=0,
+                              dtype="fp32", pad_multiple=8, tile=0,
+                              x8=True, noise_seed=None)
+    srv, _ = make_server(args)  # warmup runs the x8 path
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        img = (np.random.RandomState(1).rand(8, 8, 3) * 255).astype(np.uint8)
+        c = _conn(srv.server_address)
+        c.request("POST", "/upscale", body=encode_png(img))
+        r = c.getresponse()
+        assert r.status == 200
+        assert decode_img(r.read()).shape == (32, 32, 3)
+    finally:
+        srv.shutdown()
+
+
+def test_tile_x8_mutually_exclusive(tmp_path):
+    import argparse
+
+    import torch
+
+    from esrganplus_tpu.cli.serve import make_server
+    from esrganplus_tpu.convert.pth import generator_to_state_dict
+
+    params = init_rrdbnet(jax.random.PRNGKey(0), CFG)
+    pth = os.path.join(tmp_path, "tiny.pth")
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in
+                generator_to_state_dict(params, CFG).items()}, pth)
+    args = argparse.Namespace(model=pth, host="127.0.0.1", port=0,
+                              dtype="fp32", pad_multiple=8, tile=64,
+                              x8=True, noise_seed=None)
+    with pytest.raises(SystemExit):
+        make_server(args)

@@ -259,6 +259,11 @@ def test_stage_kernel_auto_resolves_to_xla():
                   jnp.bfloat16, 128, 128) == 2
     assert v_gate(VGGFeatConfig(stage_kernel="pallas"), jnp.bfloat16,
                   128, 128)
+    # the plane path hardcodes the lrelu gate — any other act must fall back
+    # to XLA even when forced, or the kernel D computes a different function
+    assert d_gate(DiscriminatorVGGConfig(input_size=128, act_type="relu",
+                                         stage_kernel="pallas"),
+                  jnp.bfloat16, 128, 128) == 0
 
 
 def test_wgan_gp_rejects_forced_stage_kernels():
