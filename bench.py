@@ -5,9 +5,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Protocol: RRDBNet nb=23 nf=64 gc=32 (16.8M params, the ESRGAN+ flagship), bf16
 compute / fp32 MXU accumulation, batched 128×128 LR inputs → 512×512 outputs,
 steady state after warmup. Metric is output megapixels per second per chip.
-Batch 64 (round-3 sweep: 16 → 53.4, 32 → 56.2, 64 → 57.8 MPix/s; the old
-batch-64 compile cliff died with the XLA tail — the stripe-grid tail kernels
-are VMEM/compile-flat in batch). The trunk runs the column-merged
+Batch 128 (round-5 sweep: 16 → 53.4, 32 → 56.2, 64 → 58.4, 128 → 59.1,
+256 → 59.3 MPix/s — the knee is at 128; the old batch-64 compile cliff died
+with the XLA tail — the stripe-grid tail kernels are VMEM/compile-flat in
+batch). The trunk runs the column-merged
 transposed-layout Pallas RDB kernel (esrganplus_tpu/kernels/rdb_ct.py, two
 images software-pipelined per grid step, scan-carry aliased); the upsample
 tail runs the column-phase-plane kernels (kernels/tail_ct.py) end to end in
@@ -64,9 +65,9 @@ def _parse_args(argv):
     ap.add_argument("--profile", metavar="DIR", default=None,
                     help="capture a jax.profiler trace of one timed chain "
                          "into DIR (view: tensorboard --logdir DIR)")
-    ap.add_argument("--batch", type=int, default=64,
+    ap.add_argument("--batch", type=int, default=128,
                     help="LR batch size (sweep with e.g. "
-                         "'for b in 16 32 64; do python bench.py --batch $b; done')")
+                         "'for b in 32 64 128; do python bench.py --batch $b; done')")
     ap.add_argument("--attempts", type=int, default=3,
                     help="supervisor: total worker attempts before exit 3")
     ap.add_argument("--attempt-timeout", type=float, default=1500.0,
