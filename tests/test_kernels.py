@@ -267,6 +267,7 @@ def test_rdb_t_diff_grads_match_xla():
         assert err / scale < 1e-4, (path, err, scale)
 
 
+@pytest.mark.slow
 def test_rrdbnet_pallas_train_grads_match_xla():
     # full train-mode model: pallas trunk (custom VJP + noise between kernel
     # calls) vs the XLA trunk — same noise keys, so values AND grads agree.
@@ -327,6 +328,7 @@ def test_rrdbnet_input_noise_matches_xla(detach):
         assert err / scale < 1e-3, (err, scale)
 
 
+@pytest.mark.slow
 def test_rrdbnet_unrolled_trunk_matches_scan():
     # the fully Python-unrolled training trunk (unroll >= nb forces it even
     # in interpret mode; unroll=0 "auto" takes it on TPU) must produce the

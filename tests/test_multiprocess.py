@@ -19,6 +19,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # real two-process jax.distributed runs
+
 REPO = os.path.join(os.path.dirname(__file__), "..")
 
 

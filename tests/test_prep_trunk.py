@@ -57,6 +57,7 @@ def test_forward_matches_canonical():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_grads_map_exactly_through_prep():
     params = _params()
     prepped = prep_trunk_ct(params, CFG)
@@ -91,6 +92,7 @@ def test_mask_zeroes_only_dead_support():
     assert (w2[3 * gc:][dead] == 0).all()          # structural zeros masked
 
 
+@pytest.mark.slow
 def test_sr_trainer_prep_matches_unprepped():
     from esrganplus_tpu.parallel import make_mesh, shard_batch
     from esrganplus_tpu.train import SRTrainConfig, SRTrainer
@@ -147,6 +149,7 @@ def test_prep_static_gate():
 
 
 @pytest.mark.parametrize("save_prep", [True, False])
+@pytest.mark.slow
 def test_resume_across_representations(tmp_path, save_prep):
     """A state saved under one prep_trunk gate resumes under the other
     (cli/train.py uses load_state_auto: e.g. TPU-trained prepared masters
@@ -200,6 +203,7 @@ def test_resume_across_representations(tmp_path, save_prep):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_gan_resume_across_representations(tmp_path):
     """The flagship (GAN) state — g_params + D + both Adam trees + f-less —
     also resumes across prep representations via load_state_auto."""

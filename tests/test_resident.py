@@ -201,6 +201,7 @@ def test_compute_burst_len_boundaries():
             assert not (step < p < end)
 
 
+@pytest.mark.slow
 def test_sftgan_resident_store_and_step(tmp_path):
     import torch
 
@@ -253,6 +254,7 @@ def test_sftgan_resident_store_and_step(tmp_path):
     assert set(u.tolist()) <= {0.0, 1.0}
 
 
+@pytest.mark.slow
 def test_cli_train_sftgan_resident_e2e(tmp_path):
     # sftgan through the real CLI with the seg-aware resident store
     import torch

@@ -179,6 +179,7 @@ def test_discriminator_pallas_stages_match_xla(train):
                                        rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_discriminator_pallas_stages_grads_match_xla():
     from esrganplus_tpu.models.discriminator import (
         discriminator_forward, init_discriminator)
@@ -202,6 +203,7 @@ def test_discriminator_pallas_stages_grads_match_xla():
                                    rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_vgg_pallas_stages_match_xla_and_grads():
     from esrganplus_tpu.models.vgg import (
         VGGFeatConfig, init_vgg_feat, vgg_feat_forward)
