@@ -136,3 +136,35 @@ def test_tile_x8_mutually_exclusive(tmp_path):
                               x8=True, noise_seed=None)
     with pytest.raises(SystemExit):
         make_server(args)
+
+
+def test_concurrent_requests_count_exactly(server):
+    """N parallel POSTs must all succeed and be counted exactly N times —
+    the stats read-modify-writes run under the lock (ThreadingHTTPServer
+    spawns one handler thread per request)."""
+    from esrganplus_tpu.ops.image_io import encode_png
+
+    c0 = _conn(server)
+    c0.request("GET", "/stats")
+    before = json.loads(c0.getresponse().read())["requests"]
+
+    img = (np.random.RandomState(5).rand(16, 16, 3) * 255).astype(np.uint8)
+    png = encode_png(img)
+    results = []
+
+    def post():
+        c = _conn(server)
+        c.request("POST", "/upscale", body=png)
+        results.append(c.getresponse().status)
+
+    threads = [threading.Thread(target=post) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == [200] * 6
+
+    c0.request("GET", "/stats")
+    after = json.loads(c0.getresponse().read())
+    assert after["requests"] == before + 6
+    assert after["latency_ewma_s"] > 0
